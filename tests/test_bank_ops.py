@@ -1,0 +1,133 @@
+"""Unit tests for bank attention read and merge/append update vs numpy refs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfloodnet_tpu.ops.attention import bank_attention_read, _xla_read
+from vfloodnet_tpu.ops.bank_update import bank_merge_append
+
+
+def _np_attention(keys, values, valid, q, thres):
+    # Reference semantics: p = softmax over bank dim of K q^T / sqrt(dk)
+    dk = keys.shape[1]
+    s = (q @ keys.T) / np.sqrt(dk)          # [P, N]
+    s[:, ~valid] = -1e30
+    s = s - s.max(axis=1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(axis=1, keepdims=True)
+    mem = p @ values                        # [P, dv]
+    cnt = (p > thres).sum(axis=0).astype(np.float32)
+    cnt[~valid] = 0.0
+    return mem, cnt
+
+
+def test_attention_read_matches_numpy():
+    rng = np.random.RandomState(0)
+    n, dk, dv, p_n = 300, 16, 24, 50
+    keys = rng.randn(n, dk).astype(np.float32)
+    values = rng.randn(n, dv).astype(np.float32)
+    valid = rng.rand(n) > 0.3
+    q = rng.randn(p_n, dk).astype(np.float32)
+
+    mem, cnt = bank_attention_read(jnp.asarray(keys), jnp.asarray(values),
+                                   jnp.asarray(valid), jnp.asarray(q),
+                                   thres=1e-3, chunk=64, impl="xla")
+    ref_mem, ref_cnt = _np_attention(keys, values, valid, q, 1e-3)
+    np.testing.assert_allclose(np.asarray(mem), ref_mem, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cnt), ref_cnt, atol=1.0)
+
+
+def test_attention_read_chunking_invariance():
+    rng = np.random.RandomState(1)
+    n, dk, dv, p_n = 200, 8, 12, 30
+    keys = jnp.asarray(rng.randn(n, dk).astype(np.float32))
+    values = jnp.asarray(rng.randn(n, dv).astype(np.float32))
+    valid = jnp.asarray(np.ones(n, bool))
+    q = jnp.asarray(rng.randn(p_n, dk).astype(np.float32))
+    m1, c1 = _xla_read(keys, values, valid, q, 1e-3, 17)
+    m2, c2 = _xla_read(keys, values, valid, q, 1e-3, 200)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-3)
+
+
+def test_bank_update_merges_close_features():
+    rng = np.random.RandomState(2)
+    n, dk, dv = 64, 8, 12
+    keys = np.zeros((n, dk), np.float32)
+    values = np.zeros((n, dv), np.float32)
+    valid = np.zeros(n, bool)
+    keys[0] = [1, 0, 0, 0, 0, 0, 0, 0]
+    values[0] = rng.randn(dv)
+    valid[0] = True
+    birth = np.zeros(n, np.float32)
+    usage = np.zeros(n, np.float32)
+
+    # One new feature nearly identical to slot 0 -> merge; one orthogonal -> append.
+    new_keys = np.stack([
+        np.array([0.999, 0.03, 0, 0, 0, 0, 0, 0], np.float32) * 3.0,
+        np.array([0, 1, 0, 0, 0, 0, 0, 0], np.float32),
+    ])
+    new_values = rng.randn(2, dv).astype(np.float32)
+
+    k, v, ok, b, u, stats = bank_merge_append(
+        jnp.asarray(keys), jnp.asarray(values), jnp.asarray(valid),
+        jnp.asarray(birth), jnp.asarray(usage),
+        jnp.asarray(new_keys), jnp.asarray(new_values), jnp.float32(1.0),
+        update_rate=0.1, thres_close=0.95)
+
+    assert int(stats.merged_n) == 1
+    assert int(stats.appended_n) == 1
+    assert int(stats.evicted_n) == 0
+    assert int(jnp.sum(ok)) == 2
+    # Merged slot: magnitude preserved (norm stays ~1), direction EMA'd.
+    k0 = np.asarray(k)[0]
+    np.testing.assert_allclose(np.linalg.norm(k0), 1.0, rtol=1e-4)
+    expected_dir = 0.9 * np.array([1, 0, 0, 0, 0, 0, 0, 0]) + \
+        0.1 * new_keys[0] / np.linalg.norm(new_keys[0])
+    np.testing.assert_allclose(k0, expected_dir, atol=1e-4)
+
+
+def test_bank_update_evicts_lfu_when_full():
+    n, dk, dv = 4, 4, 4
+    rng = np.random.RandomState(3)
+    keys = np.eye(4, dtype=np.float32)
+    values = rng.randn(n, dv).astype(np.float32)
+    valid = np.ones(n, bool)
+    birth = np.zeros(n, np.float32)
+    usage = np.array([5.0, 1.0, 8.0, 3.0], np.float32)  # slot 1 least used
+
+    new_keys = np.array([[0.5, 0.5, 0.5, 0.5]], np.float32)  # orthogonal-ish
+    new_values = rng.randn(1, dv).astype(np.float32)
+
+    k, v, ok, b, u, stats = bank_merge_append(
+        jnp.asarray(keys), jnp.asarray(values), jnp.asarray(valid),
+        jnp.asarray(birth), jnp.asarray(usage),
+        jnp.asarray(new_keys), jnp.asarray(new_values), jnp.float32(10.0),
+        update_rate=0.1, thres_close=0.95)
+
+    assert int(stats.appended_n) == 1
+    assert int(stats.evicted_n) == 1
+    # Slot 1 (lowest usage/age) was overwritten with the new key.
+    np.testing.assert_allclose(np.asarray(k)[1], new_keys[0], rtol=1e-5)
+    assert float(u[1]) == 0.0
+    assert float(b[1]) == 10.0
+
+
+def test_bank_update_jits_without_recompile():
+    n, dk, dv, m = 128, 8, 8, 16
+    rng = np.random.RandomState(4)
+    f = jax.jit(lambda *a: bank_merge_append(*a, update_rate=0.1,
+                                             thres_close=0.95))
+    keys = jnp.asarray(rng.randn(n, dk).astype(np.float32))
+    values = jnp.asarray(rng.randn(n, dv).astype(np.float32))
+    valid = jnp.asarray(np.zeros(n, bool)).at[:8].set(True)
+    birth = jnp.zeros(n)
+    usage = jnp.zeros(n)
+    for i in range(3):
+        nk = jnp.asarray(rng.randn(m, dk).astype(np.float32))
+        nv = jnp.asarray(rng.randn(m, dv).astype(np.float32))
+        keys, values, valid, birth, usage, _ = f(keys, values, valid, birth,
+                                                 usage, nk, nv,
+                                                 jnp.float32(i + 1))
+    assert f._cache_size() == 1

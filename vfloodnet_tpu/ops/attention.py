@@ -1,0 +1,118 @@
+"""Memory-read attention over the Adaptive Feature Bank.
+
+TPU-native redesign of the reference Matcher (video_module/model/AFB_URR.py:
+130-178): per-object softmax attention where queries are the pixels of the
+current frame and keys/values are the banked features of all past frames.
+
+The reference materialises the full [bank_n, HW] probability matrix and falls
+back to CPU on CUDA OOM (AFB_URR.py:147-157). Here the bank axis is processed
+in fixed-size chunks with an online (flash-style) softmax, so memory is
+O(chunk) regardless of bank size, shapes stay static, and the whole read jits.
+
+Also emits the per-slot usage count ``sum_hw [p > thres]`` that drives the
+bank's LFU bookkeeping (reference AFB_URR.py:161-174) — computed in a second
+sweep once the softmax normaliser is known.
+
+A Pallas kernel (``impl='pallas'``) fuses both sweeps with double-buffered HBM
+-> VMEM DMA for large banks; the XLA scan path is the reference semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _chunk_count(n: int, chunk: int) -> int:
+    return -(-n // chunk)
+
+
+def _xla_read(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray,
+              q: jnp.ndarray, thres: float, chunk: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """keys [N, dk], values [N, dv], valid [N], q [P, dk] ->
+    (mem [P, dv], cnt [N])."""
+    n, dk = keys.shape
+    dv = values.shape[1]
+    p_n = q.shape[0]
+    chunk = min(chunk, n)
+    n_chunks = _chunk_count(n, chunk)
+    pad_n = n_chunks * chunk
+
+    scale = 1.0 / math.sqrt(dk)
+
+    keys_p = jnp.pad(keys, ((0, pad_n - n), (0, 0)))
+    values_p = jnp.pad(values, ((0, pad_n - n), (0, 0)))
+    valid_p = jnp.pad(valid, (0, pad_n - n))
+
+    keys_c = keys_p.reshape(n_chunks, chunk, dk)
+    values_c = values_p.reshape(n_chunks, chunk, dv)
+    valid_c = valid_p.reshape(n_chunks, chunk)
+
+    q32 = q.astype(jnp.float32)
+
+    def sweep1(carry, inp):
+        m, l, acc = carry
+        k_c, v_c, ok = inp
+        s = (q32 @ k_c.astype(jnp.float32).T) * scale           # [P, chunk]
+        s = jnp.where(ok[None, :], s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1))
+        alpha = jnp.exp(m - m_new)
+        e = jnp.exp(s - m_new[:, None])
+        l_new = l * alpha + jnp.sum(e, axis=1)
+        acc_new = acc * alpha[:, None] + e @ v_c.astype(jnp.float32)
+        return (m_new, l_new, acc_new), None
+
+    init = (jnp.full((p_n,), NEG_INF, jnp.float32),
+            jnp.zeros((p_n,), jnp.float32),
+            jnp.zeros((p_n, dv), jnp.float32))
+    (m, l, acc), _ = jax.lax.scan(sweep1, init, (keys_c, values_c, valid_c))
+    l_safe = jnp.maximum(l, 1e-30)
+    mem = acc / l_safe[:, None]
+
+    # Second sweep: usage counts need the final normaliser.
+    log_thres = jnp.log(thres) + jnp.log(l_safe) + m               # [P]
+
+    def sweep2(_, inp):
+        k_c, ok = inp
+        s = (q32 @ k_c.astype(jnp.float32).T) * scale              # [P, chunk]
+        hit = jnp.logical_and(s > log_thres[:, None], ok[None, :])
+        return None, jnp.sum(hit.astype(jnp.float32), axis=0)      # [chunk]
+
+    _, cnt_c = jax.lax.scan(sweep2, None, (keys_c, valid_c))
+    cnt = cnt_c.reshape(pad_n)[:n]
+    return mem.astype(values.dtype), cnt
+
+
+def bank_attention_read(keys: jnp.ndarray, values: jnp.ndarray,
+                        valid: jnp.ndarray, q: jnp.ndarray,
+                        thres: float = 1e-3, chunk: int = 4096,
+                        impl: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Softmax memory read: ``mem = softmax_n(K q / sqrt(dk))^T V``.
+
+    Args:
+      keys:   [N, dk] banked keys (invalid slots may hold garbage).
+      values: [N, dv] banked values.
+      valid:  [N] bool slot validity mask.
+      q:      [P, dk] query-pixel keys.
+      thres:  probability threshold for the usage count (reference
+              Matcher.thres_valid = 1e-3).
+      chunk:  bank-axis chunk size.
+      impl:   'xla' | 'pallas' | 'auto'.
+
+    Returns:
+      mem [P, dv], usage count cnt [N] (float32).
+    """
+    if impl in ("pallas", "auto"):
+        try:
+            from .attention_pallas import pallas_bank_read
+            if impl == "pallas":
+                return pallas_bank_read(keys, values, valid, q, thres)
+        except ImportError:
+            pass
+    return _xla_read(keys, values, valid, q, thres, chunk)

@@ -1,0 +1,103 @@
+"""Connected components / largest-component filtering on device.
+
+TPU-native replacement for the reference's host-side OpenCV call
+(``cv2.connectedComponentsWithAlgorithm`` in myutils/data.py:17-37): keeps the
+mask device-resident between segmentation and estimation.
+
+Algorithm: label-propagation union-find relaxation. Each foreground pixel is
+seeded with its raster index; iterations alternate (a) 8-neighbour min-pool
+and (b) full row/column cumulative-min sweeps in both directions, which
+propagate labels along the whole row/column in one step. Convergence for
+natural blob-shaped masks takes only a few sweeps; a ``lax.while_loop`` runs
+until fixpoint.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.int32(2**30)
+
+
+def _sweep(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
+    """One relaxation sweep: 8-neighbour min then 4-direction scanline cummin."""
+    h, w = labels.shape
+    big = jnp.where(fg, labels, _INF)
+
+    # 8-neighbour min-pool (diagonals handle 8-connectivity).
+    p = jnp.pad(big, 1, constant_values=_INF)
+    neigh = jnp.minimum(
+        jnp.minimum(jnp.minimum(p[:-2, 1:-1], p[2:, 1:-1]),
+                    jnp.minimum(p[1:-1, :-2], p[1:-1, 2:])),
+        jnp.minimum(jnp.minimum(p[:-2, :-2], p[:-2, 2:]),
+                    jnp.minimum(p[2:, :-2], p[2:, 2:])),
+    )
+    big = jnp.minimum(big, jnp.where(fg, neigh, _INF))
+    big = jnp.where(fg, big, _INF)
+
+    # Scanline propagation: cumulative min along runs of foreground.
+    def run_cummin(x, axis, reverse):
+        # cumulative min that resets at background pixels: implemented via
+        # associative_scan on (value, is_reset) pairs.
+        fgm = fg if axis == 1 else fg
+        def combine(a, b):
+            av, ar = a
+            bv, br = b
+            v = jnp.where(br, bv, jnp.minimum(av, bv))
+            r = jnp.logical_or(ar, br)
+            return v, r
+        vals = jnp.where(fgm, x, _INF)
+        resets = ~fgm
+        v, _ = jax.lax.associative_scan(combine, (vals, resets), axis=axis,
+                                        reverse=reverse)
+        return jnp.where(fgm, v, _INF)
+
+    for axis in (0, 1):
+        for reverse in (False, True):
+            big = jnp.minimum(big, run_cummin(big, axis, reverse))
+    return jnp.where(fg, big, _INF)
+
+
+def connected_components(mask: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
+    """Label 8-connected components of a binary mask.
+
+    Returns int32 labels: background = -1, each component labelled by the
+    raster index of its minimal pixel.
+    """
+    h, w = mask.shape
+    fg = mask.astype(bool)
+    init = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+            + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
+    init = jnp.where(fg, init, _INF)
+
+    def cond(state):
+        labels, prev, it = state
+        return jnp.logical_and(it < max_iters, jnp.any(labels != prev))
+
+    def body(state):
+        labels, _, it = state
+        new = _sweep(labels, fg)
+        return new, labels, it + 1
+
+    first = _sweep(init, fg)
+    labels, _, _ = jax.lax.while_loop(cond, body, (first, init, jnp.int32(1)))
+    return jnp.where(fg, labels, -1)
+
+
+def largest_connected_component(mask: jnp.ndarray) -> jnp.ndarray:
+    """Keep only the largest 8-connected foreground component.
+
+    Behaviourally equivalent to the reference's ``postprocessing_pred``
+    (myutils/data.py:17-37) for binary masks: the largest non-background
+    component survives; everything else is zeroed. Returns uint8 {0,1}.
+    """
+    h, w = mask.shape
+    labels = connected_components(mask)
+    flat = jnp.where(labels >= 0, labels, h * w).reshape(-1)
+    # Component sizes via scatter-add into a label histogram (one bin per
+    # pixel id + overflow bin for background).
+    sizes = jnp.zeros((h * w + 1,), jnp.int32).at[flat].add(1)
+    sizes = sizes.at[h * w].set(0)
+    best = jnp.argmax(sizes)
+    return (labels == best).astype(jnp.uint8)

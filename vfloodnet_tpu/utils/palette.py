@@ -1,0 +1,78 @@
+"""Host-boundary image IO: palette PNG masks and overlays.
+
+The stage contract of the reference pipeline is indexed-PNG masks with a fixed
+palette where water = label 1 (myutils/data.py:14,49-53; masks consumed back
+at est_waterlevel.py:26-28). These helpers keep that contract bit-compatible.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+from PIL import Image
+
+# Same palette as the reference (myutils/data.py:14):
+# background black, water navy, then green/red, grey filler.
+COLOR_PALETTE = [0, 0, 0, 0, 0, 128, 0, 128, 0, 128, 0, 0] + [100, 100, 100] * 252
+
+
+def save_seg_mask(pred: np.ndarray, seg_path: str,
+                  palette: Sequence[int] = COLOR_PALETTE) -> None:
+    """Write an indexed-PNG mask (uint8 labels) with the standard palette."""
+    img = Image.fromarray(np.asarray(pred, dtype=np.uint8), mode="P")
+    img.putpalette(list(palette))
+    img.save(seg_path)
+
+
+def load_image(path: str, mode: str = "RGB") -> Image.Image:
+    img = Image.open(path)
+    img.load()
+    return img.convert(mode)
+
+
+def load_mask(path: str) -> np.ndarray:
+    """Load an indexed-PNG mask as uint8 labels."""
+    return np.asarray(load_image(path, "P"), dtype=np.uint8)
+
+
+def _dilate(mask: np.ndarray) -> np.ndarray:
+    out = mask.copy()
+    out[1:, :] |= mask[:-1, :]
+    out[:-1, :] |= mask[1:, :]
+    out[:, 1:] |= mask[:, :-1]
+    out[:, :-1] |= mask[:, 1:]
+    return out
+
+
+def add_overlay(img_bgr: np.ndarray, mask: np.ndarray,
+                colors: Sequence[int] = COLOR_PALETTE,
+                alpha: float = 0.4, cscale: float = 1.0) -> np.ndarray:
+    """Blend mask colors onto a BGR image and draw component contours.
+
+    Same visual contract as the reference overlay writer
+    (myutils/data.py:56-75).
+    """
+    out = img_bgr.copy()
+    color_table = np.atleast_2d(np.reshape(np.asarray(colors, dtype=np.float64), (-1, 3))) * cscale
+    ones = np.ones(img_bgr.shape, dtype=np.float64) * (1.0 - alpha)
+    for label in np.unique(mask):
+        if label == 0:
+            continue
+        canvas = img_bgr * alpha + ones * color_table[label][::-1]
+        binary = mask == label
+        out[binary] = canvas[binary]
+        contour = _dilate(binary) ^ binary
+        out[contour, :] = 0
+    return out
+
+
+def save_overlay(img_rgb01: np.ndarray, mask: np.ndarray, overlay_path: str,
+                 colors: Sequence[int] = COLOR_PALETTE,
+                 alpha: float = 0.4, cscale: float = 1.0) -> None:
+    """img_rgb01: float HWC RGB in [0,1] (device output layout)."""
+    img = (np.asarray(img_rgb01) * 255).astype(np.uint8)[..., ::-1]  # -> BGR
+    overlay = add_overlay(np.ascontiguousarray(img), np.asarray(mask), colors,
+                          alpha, cscale)
+    Image.fromarray(overlay[..., ::-1]).save(overlay_path)
