@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""V-FloodNet-TPU: Water Video Segmentation CLI.
+
+Public entry point with the same flags and output tree as the reference
+test_video_seg.py (SURVEY.md §3.2): memory-propagated per-frame water
+segmentation over a frame directory, bootstrapping the first-frame mask with
+the image model when missing.
+"""
+
+import argparse
+import os
+
+from vfloodnet_tpu.pipelines.loaders import load_afb_urr
+from vfloodnet_tpu.pipelines.video_seg import run_video_segmentation
+from vfloodnet_tpu.utils import gct
+
+
+def get_args():
+    parser = argparse.ArgumentParser(
+        description="V-FloodNet-TPU: Water Video Segmentation")
+    parser.add_argument("--budget", type=int, default=250000,
+                        help="Max number of features in the feature bank.")
+    parser.add_argument("--viz", action="store_true", default=True,
+                        help="Visualize data.")
+    parser.add_argument("--model-path", type=str,
+                        default="records/video_seg_tpu",
+                        help="Path to the checkpoint (orbax dir or torch .pth)")
+    parser.add_argument("--image-model-path", type=str,
+                        default="./records/linknet_tpu",
+                        help="Image model for first-frame bootstrap")
+    parser.add_argument("--update-rate", type=float, default=0.1,
+                        help="Impact of merging new features.")
+    parser.add_argument("--merge-thres", type=float, default=0.95,
+                        help="Merge if similarity is higher, else append.")
+    parser.add_argument("--downsample", type=int, default=480,
+                        help="Short-side operating resolution.")
+    parser.add_argument("--no-postprocess", action="store_true",
+                        help="Skip largest-CC mask cleanup.")
+    parser.add_argument("--test-path", type=str, required=True,
+                        help="Video frames directory")
+    parser.add_argument("--test-name", type=str, required=True,
+                        help="Video name")
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    args = get_args()
+    print(gct(), "Args =", args)
+    assert os.path.isdir(args.test_path)
+
+    model, variables = load_afb_urr(args.model_path)
+    run_video_segmentation(
+        args.test_path, args.test_name,
+        model=model, variables=variables,
+        budget=args.budget, update_rate=args.update_rate,
+        merge_thres=args.merge_thres, downsample=args.downsample,
+        viz=args.viz, postprocess=not args.no_postprocess,
+        image_model_path=args.image_model_path)
+    print(gct(), "Test video segmentation done.")

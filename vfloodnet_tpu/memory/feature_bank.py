@@ -1,0 +1,142 @@
+"""Adaptive Feature Bank as a fixed-capacity functional state.
+
+TPU-native redesign of the reference FeatureBank
+(video_module/model/FeatureBank.py): instead of per-object python lists of
+dynamically-growing tensors, the bank is one pytree of pre-allocated
+[obj_n, capacity, d] arrays plus masks, so every operation is a jitted
+static-shape update (no recompiles, no re-allocation, shardable across a
+device mesh along the capacity axis).
+
+Budget semantics mirror the reference (FeatureBank.py:20-22): per-class
+budget = memory_budget // obj_n, scaled by 0.8 when obj_n == 2; here it is
+additionally rounded up to a multiple of 128 for TPU lane alignment.
+
+Telemetry (peak utilisation / replacement ratio, FeatureBank.py:145-149) is
+carried in the state and printable via :meth:`FeatureBank.report`.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..ops.bank_update import bank_merge_append
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@flax.struct.dataclass
+class FeatureBankState:
+    keys: jnp.ndarray      # [obj_n, cap, dk]
+    values: jnp.ndarray    # [obj_n, cap, dv]
+    valid: jnp.ndarray     # [obj_n, cap] bool
+    birth: jnp.ndarray     # [obj_n, cap] f32 — frame idx the slot was written
+    usage: jnp.ndarray     # [obj_n, cap] f32 — accumulated log usage
+    peak_n: jnp.ndarray    # [obj_n] i32 — max occupied slots seen
+    replace_n: jnp.ndarray # [obj_n] i32 — total evictions
+
+    @property
+    def obj_n(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[1]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid, axis=1)
+
+
+class FeatureBank:
+    """Factory + jitted transition functions for :class:`FeatureBankState`."""
+
+    def __init__(self, obj_n: int, memory_budget: int = 250_000,
+                 update_rate: float = 0.1, thres_close: float = 0.95,
+                 keydim: int = 128, valdim: int = 512,
+                 dtype: jnp.dtype = jnp.float32):
+        self.obj_n = obj_n
+        class_budget = memory_budget // obj_n
+        if obj_n == 2:
+            class_budget = int(0.8 * class_budget)
+        self.class_budget = _round_up(max(class_budget, 128), 128)
+        self.update_rate = update_rate
+        self.thres_close = thres_close
+        self.keydim = keydim
+        self.valdim = valdim
+        self.dtype = dtype
+
+    def empty(self) -> FeatureBankState:
+        cap = self.class_budget
+        return FeatureBankState(
+            keys=jnp.zeros((self.obj_n, cap, self.keydim), self.dtype),
+            values=jnp.zeros((self.obj_n, cap, self.valdim), self.dtype),
+            valid=jnp.zeros((self.obj_n, cap), bool),
+            birth=jnp.zeros((self.obj_n, cap), jnp.float32),
+            usage=jnp.zeros((self.obj_n, cap), jnp.float32),
+            peak_n=jnp.zeros((self.obj_n,), jnp.int32),
+            replace_n=jnp.zeros((self.obj_n,), jnp.int32),
+        )
+
+    def init_bank(self, keys: jnp.ndarray, values: jnp.ndarray,
+                  frame_idx: float = 0.0) -> FeatureBankState:
+        """Seed the bank with first-frame features (FeatureBank.py:27-36).
+
+        keys [obj_n, P, dk], values [obj_n, P, dv] with P <= capacity.
+        """
+        state = self.empty()
+        p = keys.shape[1]
+        if p > self.class_budget:
+            raise ValueError(f"first-frame features ({p}) exceed per-class "
+                             f"budget ({self.class_budget})")
+        valid = state.valid.at[:, :p].set(True)
+        return state.replace(
+            keys=state.keys.at[:, :p].set(keys.astype(self.dtype)),
+            values=state.values.at[:, :p].set(values.astype(self.dtype)),
+            valid=valid,
+            birth=state.birth.at[:, :p].set(frame_idx),
+            peak_n=jnp.full((self.obj_n,), p, jnp.int32),
+        )
+
+    def record_usage(self, state: FeatureBankState,
+                     usage_cnt: jnp.ndarray) -> FeatureBankState:
+        """Apply the attention-read usage counts (reference AFB_URR.py:174:
+        ``info[:, 1] += log(cnt + 1)``)."""
+        usage = state.usage + jnp.log1p(usage_cnt)
+        usage = jnp.where(state.valid, jnp.clip(usage, 0.0, 1e5), 0.0)
+        return state.replace(usage=usage)
+
+    def update(self, state: FeatureBankState, new_keys: jnp.ndarray,
+               new_values: jnp.ndarray, frame_idx) -> FeatureBankState:
+        """Merge/append/evict one frame of features (FeatureBank.py:53-115).
+
+        new_keys [obj_n, P, dk], new_values [obj_n, P, dv].
+        """
+        fi = jnp.asarray(frame_idx, jnp.float32)
+
+        def one(keys, values, valid, birth, usage, nk, nv):
+            return bank_merge_append(keys, values, valid, birth, usage, nk,
+                                     nv, fi, update_rate=self.update_rate,
+                                     thres_close=self.thres_close)
+
+        keys, values, valid, birth, usage, stats = jax.vmap(one)(
+            state.keys, state.values, state.valid, state.birth, state.usage,
+            new_keys.astype(self.dtype), new_values.astype(self.dtype))
+
+        count = jnp.sum(valid, axis=1).astype(jnp.int32)
+        return FeatureBankState(
+            keys=keys, values=values, valid=valid, birth=birth, usage=usage,
+            peak_n=jnp.maximum(state.peak_n, count),
+            replace_n=state.replace_n + stats.evicted_n,
+        )
+
+    def report(self, state: FeatureBankState) -> str:
+        """Bank health telemetry (reference FeatureBank.print_peak_mem)."""
+        ur = jax.device_get(state.peak_n) / self.class_budget
+        rr = jax.device_get(state.replace_n) / self.class_budget
+        return (f"Obj num: {self.obj_n}. Budget / obj: {self.class_budget}. "
+                f"UR: {ur}. Replace: {rr}.")

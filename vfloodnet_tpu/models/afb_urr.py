@@ -1,0 +1,260 @@
+"""AFB-URR video segmentation network, TPU-native.
+
+Same computation graph as the reference model (video_module/model/AFB_URR.py):
+a ResNet-50 *memory* encoder over (frame, mask, inverse-mask), a ResNet-50
+*query* encoder, 3x3-conv key/value heads (1024 -> 128 / 512), softmax
+memory-read attention against the feature bank, and a two-stage decoder with
+uncertainty-gated local refinement — but re-designed for XLA:
+
+- NHWC layout, bf16-capable convs, frozen BN (the reference freezes BN in
+  training too, train_video_seg.py:106).
+- The memory read is :func:`vfloodnet_tpu.ops.bank_attention_read` — a
+  chunked online-softmax over a fixed-capacity masked bank instead of a
+  dynamically-growing tensor with CUDA-OOM CPU fallback (AFB_URR.py:147-157).
+- The bank usage-count side effect (AFB_URR.py:161-174) is returned
+  functionally and applied to the bank state by the caller.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import (bank_attention_read, calc_uncertainty, local_avg_pool,
+                   local_max_pool, pad_divide_by, unpad)
+from .resnet import ResNet50Backbone, FrozenBN
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+
+_he = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+def _upsample2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsample, half-pixel centres (align_corners=False)."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x.astype(jnp.float32), (n, 2 * h, 2 * w, c),
+                            method="linear").astype(x.dtype)
+
+
+class ResBlock(nn.Module):
+    """Pre-activation residual block (reference AFB_URR.py:10-30)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        r = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=_he, name="conv1")(nn.relu(x))
+        r = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=_he, name="conv2")(nn.relu(r))
+        if x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                        kernel_init=_he, name="downsample")(x)
+        return x + r
+
+
+class Refine(nn.Module):
+    """Skip-connection refinement with 2x upsample (AFB_URR.py:114-127)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, f, pm):
+        s = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=_he, name="convFS")(f)
+        s = ResBlock(self.features, dtype=self.dtype, name="ResFS")(s)
+        m = s + _upsample2(pm)
+        return ResBlock(self.features, dtype=self.dtype, name="ResMM")(m)
+
+
+class EncoderM(nn.Module):
+    """Memory encoder: frame + mask + inverse-mask stems (AFB_URR.py:33-63)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, frame, mask, mask_inv):
+        # frame [N,H,W,3] in [0,1]; mask/mask_inv [N,H,W,1]
+        f = (frame - IMAGENET_MEAN) / IMAGENET_STD
+        extra = (nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                         dtype=self.dtype, name="conv1_m")(mask)
+                 + nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                           use_bias=False, dtype=self.dtype,
+                           name="conv1_o")(mask_inv))
+        r4, _, _, r1 = ResNet50Backbone(dtype=self.dtype, name="backbone")(
+            f.astype(self.dtype), extra)
+        return r4, r1
+
+
+class EncoderQ(nn.Module):
+    """Query encoder (AFB_URR.py:66-93)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, frame):
+        f = (frame - IMAGENET_MEAN) / IMAGENET_STD
+        return ResNet50Backbone(dtype=self.dtype, name="backbone")(
+            f.astype(self.dtype))
+
+
+class KeyValue(nn.Module):
+    """3x3-conv key/value heads (AFB_URR.py:96-111). Returns flattened
+    [N, P, d] with P = h*w."""
+    keydim: int = 128
+    valdim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, _ = x.shape
+        key = nn.Conv(self.keydim, (3, 3), padding=1, dtype=self.dtype,
+                      name="key")(x)
+        val = nn.Conv(self.valdim, (3, 3), padding=1, dtype=self.dtype,
+                      name="value")(x)
+        return key.reshape(n, h * w, self.keydim), val.reshape(n, h * w, self.valdim)
+
+
+class Decoder(nn.Module):
+    """Global decode + uncertainty-gated local refinement (AFB_URR.py:181-239).
+
+    Input: per-(batch*object) matched features at 1/16, skips r3 (1/8), r2
+    (1/4), r1 (1/2). Output: per-object foreground probability at full
+    resolution, shape [B, obj_n, H, W].
+    """
+    mdim_global: int = 256
+    mdim_local: int = 32
+    local_size: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, patch_match, r3, r2, r1, bs: int, obj_n: int):
+        p = nn.Conv(self.mdim_global, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=_he, name="convFM")(patch_match)
+        p = ResBlock(self.mdim_global, dtype=self.dtype, name="ResMM")(p)
+        p = Refine(self.mdim_global, dtype=self.dtype, name="RF3")(r3, p)   # 1/8
+        p = Refine(self.mdim_global, dtype=self.dtype, name="RF2")(r2, p)   # 1/4
+        p = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype, kernel_init=_he,
+                    name="pred2")(nn.relu(p))
+        p = _upsample2(p)                                                    # 1/2
+
+        n, h, w, _ = p.shape
+        rough = jax.nn.softmax(p.astype(jnp.float32), axis=-1)[..., 1]      # [N,h,w]
+        rough = rough.reshape(bs, obj_n, h, w)
+        rough = jax.nn.softmax(rough, axis=1)          # object-level norm
+
+        unc = calc_uncertainty(jnp.moveaxis(rough, 1, -1), obj_axis=-1)     # [B,h,w,1]
+        unc = jnp.repeat(unc[:, None], obj_n, axis=1).reshape(n, h, w, 1)
+
+        rough = rough.reshape(n, h, w, 1).astype(self.dtype)
+        r1_weighted = r1 * rough
+        r1_local = local_avg_pool(r1_weighted, self.local_size)
+        r1_local = r1_local / (local_avg_pool(rough, self.local_size) + 1e-8)
+        r1_conf = local_max_pool(rough, self.local_size)
+
+        local_match = jnp.concatenate([r1, r1_local], axis=-1)
+        q = nn.Conv(self.mdim_local, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=_he, name="local_convFM")(local_match)
+        q = ResBlock(self.mdim_local, dtype=self.dtype, name="local_ResMM")(q)
+        q = r1_conf * nn.Conv(2, (3, 3), padding=1, dtype=self.dtype,
+                              kernel_init=_he, name="local_pred2")(nn.relu(q))
+
+        p = p + unc.astype(self.dtype) * q
+        p = _upsample2(p)                                                    # 1/1
+        score = jax.nn.softmax(p.astype(jnp.float32), axis=-1)[..., 1]      # [N,H,W]
+        return score.reshape(bs, obj_n, 2 * h, 2 * w)
+
+
+class AFBURR(nn.Module):
+    """Full AFB-URR graph. Use via ``apply(..., method=...)``:
+
+    - ``memorize(frame [H,W,3], mask [obj_n,H,W])`` -> (k4, v4) each
+      [obj_n, P, d].
+    - ``segment(frames [B,H,W,3], bank_keys [obj,N,dk], bank_values
+      [obj,N,dv], bank_valid [obj,N], training)`` -> (score logits
+      [B, obj_n, H, W], uncertainty-loss scalar or None, usage counts
+      [obj, N]).
+    """
+    keydim: int = 128
+    valdim: int = 512
+    read_chunk: int = 4096
+    thres_valid: float = 1e-3
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder_m = EncoderM(dtype=self.dtype)
+        self.encoder_q = EncoderQ(dtype=self.dtype)
+        self.keyval_r4 = KeyValue(self.keydim, self.valdim, dtype=self.dtype)
+        self.decoder = Decoder(dtype=self.dtype)
+
+    def init_all(self, frame: jnp.ndarray, mask: jnp.ndarray, bank_n: int = 128):
+        """Touches every submodule so ``model.init(..., method=model.init_all)``
+        creates the complete parameter tree."""
+        obj_n = mask.shape[0]
+        k4, v4 = self.memorize(frame, mask)
+        keys = jnp.zeros((obj_n, bank_n, self.keydim))
+        values = jnp.zeros((obj_n, bank_n, self.valdim))
+        valid = jnp.zeros((obj_n, bank_n), bool).at[:, :8].set(True)
+        return self.segment(frame[None], keys, values, valid, False)
+
+    def memorize(self, frame: jnp.ndarray, mask: jnp.ndarray):
+        obj_n = mask.shape[0]
+        frame, _ = pad_divide_by(frame[None], 16)
+        mask, _ = pad_divide_by(mask[..., None], 16, spatial_axes=(-3, -2))
+        frames = jnp.broadcast_to(frame, (obj_n,) + frame.shape[1:])
+        mask = mask.astype(self.dtype)
+        mask_inv = jnp.clip(1.0 - mask, 0.0, 1.0)
+        r4, _ = self.encoder_m(frames, mask, mask_inv)
+        k4, v4 = self.keyval_r4(r4)
+        return k4, v4
+
+    def segment(self, frames: jnp.ndarray, bank_keys: jnp.ndarray,
+                bank_values: jnp.ndarray, bank_valid: jnp.ndarray,
+                training: bool = False):
+        bs = frames.shape[0]
+        obj_n = bank_keys.shape[0]
+        frames, pad = pad_divide_by(frames, 16)
+        r4, r3, r2, r1 = self.encoder_q(frames)
+        _, h16, w16, _ = r4.shape
+        k4, v4 = self.keyval_r4(r4)                      # [B, P, dk/dv]
+
+        def read_one(keys, values, valid, q):
+            return bank_attention_read(keys, values, valid,
+                                       q.astype(jnp.float32),
+                                       thres=self.thres_valid,
+                                       chunk=self.read_chunk)
+
+        # vmap over objects, then over batch queries.
+        read_obj = jax.vmap(read_one, in_axes=(0, 0, 0, None))     # over obj
+        read = jax.vmap(read_obj, in_axes=(None, None, None, 0))   # over batch
+        mem, cnt = read(bank_keys, bank_values, bank_valid, k4)
+        # mem [B, obj, P, dv]; cnt [B, obj, N] -> sum batch contributions.
+        usage_cnt = jnp.sum(cnt, axis=0)
+
+        q_val = jnp.broadcast_to(v4[:, None], (bs, obj_n) + v4.shape[1:])
+        feat = jnp.concatenate([mem.astype(self.dtype), q_val], axis=-1)
+        feat = feat.reshape(bs * obj_n, h16, w16, 2 * self.valdim)
+
+        def per_obj(x):
+            return jnp.repeat(x[:, None], obj_n, axis=1).reshape(
+                (bs * obj_n,) + x.shape[1:])
+
+        score = self.decoder(feat, per_obj(r3), per_obj(r2), per_obj(r1),
+                             bs, obj_n)                  # [B, obj, H, W] probs
+
+        if training:
+            unc = calc_uncertainty(jnp.moveaxis(
+                jax.nn.softmax(score, axis=1), 1, -1), obj_axis=-1)
+            hw = score.shape[-2] * score.shape[-1]
+            unc = jnp.linalg.norm(unc.reshape(bs, -1), axis=1) / math.sqrt(hw)
+            uncertainty_loss = jnp.mean(unc)
+        else:
+            uncertainty_loss = None
+
+        score = jnp.clip(score, 1e-7, 1 - 1e-7)
+        score = jnp.log(score / (1 - score))             # logits
+        score = unpad(score, pad, spatial_axes=(-2, -1))
+        return score, uncertainty_loss, usage_cnt

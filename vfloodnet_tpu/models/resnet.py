@@ -1,0 +1,113 @@
+"""ResNet-50 feature backbone (Flax, NHWC, frozen BatchNorm).
+
+TPU-native counterpart of the torchvision resnet50 stages used by the
+reference encoders (video_module/model/AFB_URR.py:39-47,69-77): stem + layer1
+(1/4, 256) + layer2 (1/8, 512) + layer3 (1/16, 1024). layer4 is never used by
+AFB-URR, so it is omitted.
+
+BatchNorm always runs with running statistics: the reference freezes BN even
+during training (train_video_seg.py:106, myutils set_bn_eval), so the stats
+live in the ``batch_stats`` collection and are never updated. Convs compute in
+``dtype`` (bf16 on TPU for MXU throughput) with f32 params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class FrozenBN(nn.Module):
+    """BatchNorm evaluated with stored running statistics."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((f,), jnp.float32)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((f,), jnp.float32)).value
+        inv = scale * jnp.reciprocal(jnp.sqrt(var + 1e-5))
+        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    """torchvision-v1.5-style bottleneck (stride on the 3x3 conv)."""
+    features: int   # bottleneck width; output is 4x
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_f = self.features * 4
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = FrozenBN(dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = FrozenBN(dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_f, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = FrozenBN(dtype=self.dtype, name="bn3")(y)
+        if residual.shape[-1] != out_f or self.stride != 1:
+            residual = nn.Conv(out_f, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = FrozenBN(dtype=self.dtype, name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResLayer(nn.Module):
+    features: int
+    blocks: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Bottleneck(self.features, self.stride, dtype=self.dtype,
+                       name="block0")(x)
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.features, 1, dtype=self.dtype,
+                           name=f"block{i}")(x)
+        return x
+
+
+class ResNet50Backbone(nn.Module):
+    """Stem + layer1..layer3. Extra stem streams (mask channels) are added
+    *before* the stem BN, matching the reference memory encoder
+    (AFB_URR.py:55-56)."""
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.conv1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                             use_bias=False, dtype=self.dtype, name="conv1")
+        self.bn1 = FrozenBN(dtype=self.dtype, name="bn1")
+        self.layer1 = ResLayer(64, 3, 1, dtype=self.dtype, name="layer1")
+        self.layer2 = ResLayer(128, 4, 2, dtype=self.dtype, name="layer2")
+        self.layer3 = ResLayer(256, 6, 2, dtype=self.dtype, name="layer3")
+
+    def stem(self, x, extra=None):
+        y = self.conv1(x)
+        if extra is not None:
+            y = y + extra
+        y = self.bn1(y)
+        r1 = nn.relu(y)                                   # 1/2, 64
+        return r1
+
+    def __call__(self, x, extra=None) -> Tuple[jnp.ndarray, ...]:
+        r1 = self.stem(x, extra)
+        y = nn.max_pool(r1, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        r2 = self.layer1(y)                               # 1/4, 256
+        r3 = self.layer2(r2)                              # 1/8, 512
+        r4 = self.layer3(r3)                              # 1/16, 1024
+        return r4, r3, r2, r1

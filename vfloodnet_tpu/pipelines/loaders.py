@@ -1,0 +1,49 @@
+"""Model construction + checkpoint loading helpers for the CLIs."""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import convert_afb_urr_checkpoint
+from ..core.checkpoint import restore_checkpoint
+from ..models import AFBURR
+from ..utils import gct
+
+
+def load_afb_urr(model_path: Optional[str] = None,
+                 dtype=jnp.float32) -> Tuple[AFBURR, dict]:
+    """Build the AFB-URR model and load weights.
+
+    Accepts either a converted orbax checkpoint directory, a reference
+    PyTorch ``.pth`` checkpoint (converted on the fly via torch-cpu), or
+    None/missing (random init with a warning — functional smoke mode only).
+    """
+    model = AFBURR(dtype=dtype)
+
+    def _random_init():
+        rng = jax.random.PRNGKey(0)
+        frame = jnp.zeros((64, 64, 3))
+        mask = jnp.zeros((2, 64, 64))
+        return model.init(rng, frame, mask, method=model.init_all)
+
+    if model_path and os.path.exists(model_path):
+        if model_path.endswith(".pth") or model_path.endswith(".bin"):
+            print(gct(), f"Converting PyTorch checkpoint {model_path}")
+            variables = convert_afb_urr_checkpoint(model_path)
+            variables = jax.tree.map(jnp.asarray, variables)
+        else:
+            print(gct(), f"Restoring checkpoint {model_path}")
+            variables = restore_checkpoint(model_path,
+                                           target=jax.tree.map(
+                                               lambda x: x, _random_init()))
+        print(gct(), f"Loaded checkpoint {model_path}")
+    else:
+        warnings.warn(f"No checkpoint found at {model_path!r}; "
+                      "using random initialisation (smoke mode).")
+        variables = _random_init()
+    return model, variables

@@ -1,0 +1,197 @@
+"""Video water segmentation: memory-propagated per-frame inference.
+
+TPU-native pipeline with the capability of the reference CLI loop
+(test_video_seg.py:41-123): bootstrap from a first-frame mask, then per frame
+segment -> memorize -> bank update. Redesigned for TPU:
+
+- the entire per-frame transition (query encode, bank attention read, decode,
+  memory encode, bank merge/append/evict, full-size upsample + argmax +
+  largest-CC cleanup) is ONE jitted function over static shapes — masks stay
+  device-resident; the only host traffic is JPEG decode in and a uint8 label
+  map out per frame;
+- host JPEG decode is overlapped with device compute via a prefetch thread;
+- the feature bank is the fixed-capacity state in
+  :mod:`vfloodnet_tpu.memory` (no reallocation / recompiles over the video).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+from glob import glob
+from typing import Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from ..memory import FeatureBank, FeatureBankState
+from ..models import AFBURR
+from ..utils import (COLOR_PALETTE, FrameSecondMeter, gct, load_image,
+                     load_mask, save_overlay, save_seg_mask)
+
+
+def to_onehot(mask: np.ndarray, obj_n: int) -> np.ndarray:
+    """Label mask [H, W] -> one-hot [obj_n, H, W] with background =
+    1 - sum(objects) (reference ToOnehot, video transforms :383-424)."""
+    oh = np.zeros((obj_n,) + mask.shape, np.float32)
+    for i in range(1, obj_n):
+        oh[i] = mask == i
+    oh[0] = 1.0 - oh[1:].sum(axis=0).clip(0.0, 1.0)
+    return oh
+
+
+class VideoSegEngine:
+    """Jitted propagation engine for one video resolution."""
+
+    def __init__(self, model: AFBURR, variables, fb: FeatureBank,
+                 downsample: int = 480, postprocess: bool = True):
+        self.model = model
+        self.variables = variables
+        self.fb = fb
+        self.downsample = downsample
+        self.postprocess = postprocess
+
+        @jax.jit
+        def _init_bank(frame_small, mask_small):
+            k4, v4 = model.apply(variables, frame_small, mask_small,
+                                 method=model.memorize)
+            return k4, v4
+
+        @jax.jit
+        def _step(state: FeatureBankState, frame_small, frame_full,
+                  frame_idx):
+            """One frame: segment + memorize + bank update + full-res mask."""
+            score, _, cnt = model.apply(
+                variables, frame_small[None], state.keys, state.values,
+                state.valid, False, method=model.segment)
+            pred = jax.nn.softmax(score, axis=1)          # [1, obj, h, w]
+
+            k4, v4 = model.apply(variables, frame_small, pred[0],
+                                 method=model.memorize)
+            state = fb.record_usage(state, cnt)
+            state = fb.update(state, k4, v4, frame_idx)
+
+            # Full-resolution label map, device-side.
+            full_hw = frame_full.shape[:2]
+            up = ops.resize(pred[0], full_hw, "bicubic", spatial_axes=(-2, -1))
+            label = jnp.argmax(up, axis=0).astype(jnp.uint8)
+            if self.postprocess:
+                label = ops.largest_connected_component(label)
+            return state, label
+
+        self._init_bank = _init_bank
+        self._step = _step
+
+    def bootstrap(self, first_frame: np.ndarray, first_mask: np.ndarray,
+                  ) -> FeatureBankState:
+        """Seed the bank from frame 0 (frame [H,W,3] float01, mask [H,W]
+        uint8 labels)."""
+        small_hw = ops.short_side_size(*first_frame.shape[:2], self.downsample)
+        frame = jnp.asarray(first_frame, jnp.float32)
+        frame_small = ops.resize(frame, small_hw, "bicubic",
+                                 spatial_axes=(0, 1))
+        mask_oh = to_onehot(first_mask, self.fb.obj_n)
+        mask_small = ops.resize(jnp.asarray(mask_oh), small_hw, "nearest",
+                                spatial_axes=(-2, -1))
+        k4, v4 = self._init_bank(frame_small, mask_small)
+        return self.fb.init_bank(k4, v4)
+
+    def step(self, state: FeatureBankState, frame: np.ndarray,
+             frame_idx: int) -> Tuple[FeatureBankState, jnp.ndarray]:
+        """Process one frame (full-res float01 [H,W,3]). Returns (state,
+        full-res uint8 label map on device)."""
+        frame = jnp.asarray(frame, jnp.float32)
+        small_hw = ops.short_side_size(*frame.shape[:2], self.downsample)
+        frame_small = ops.resize(frame, small_hw, "bicubic",
+                                 spatial_axes=(0, 1))
+        return self._step(state, frame_small, frame, jnp.float32(frame_idx))
+
+
+def _decode(path: str) -> np.ndarray:
+    return np.asarray(load_image(path), np.float32) / 255.0
+
+
+def run_video_segmentation(test_path: str, test_name: str,
+                           out_dir: str = "./output/segs",
+                           model: Optional[AFBURR] = None,
+                           variables=None,
+                           budget: int = 250_000,
+                           update_rate: float = 0.1,
+                           merge_thres: float = 0.95,
+                           downsample: int = 480,
+                           viz: bool = True,
+                           postprocess: bool = True,
+                           image_model_path: Optional[str] = None,
+                           first_mask_path: Optional[str] = None) -> dict:
+    """End-to-end video segmentation over a frame directory.
+
+    Mirrors the reference entry point behaviour (test_video_seg.py:41-123):
+    output tree ``<out_dir>/<test_name>/{mask,overlay}``, first-frame mask
+    auto-generated by the image model if missing.
+    """
+    img_list = sorted(glob(os.path.join(test_path, "*.jpg"))
+                      + glob(os.path.join(test_path, "*.png")))
+    if not img_list:
+        raise FileNotFoundError(f"no frames in {test_path}")
+
+    mask_dir = os.path.join(out_dir, test_name, "mask")
+    overlay_dir = os.path.join(out_dir, test_name, "overlay")
+    os.makedirs(mask_dir, exist_ok=True)
+    if viz:
+        os.makedirs(overlay_dir, exist_ok=True)
+
+    first_name = os.path.splitext(os.path.basename(img_list[0]))[0]
+    if first_mask_path is None:
+        first_mask_path = os.path.join(mask_dir, first_name + ".png")
+    if not os.path.exists(first_mask_path):
+        # Bootstrap with the image segmentation model (reference
+        # test_video_seg.py:67-69).
+        from .image_seg import run_image_segmentation
+        run_image_segmentation(img_list[0], test_name, out_dir,
+                               model_path=image_model_path)
+
+    first_frame = _decode(img_list[0])
+    first_mask = load_mask(first_mask_path)
+    obj_n = int(first_mask.max()) + 1
+
+    fb = FeatureBank(obj_n=obj_n, memory_budget=budget,
+                     update_rate=update_rate, thres_close=merge_thres)
+    state = None
+
+    engine = VideoSegEngine(model, variables, fb, downsample=downsample,
+                            postprocess=postprocess)
+    state = engine.bootstrap(first_frame, first_mask)
+
+    # Save frame-0 outputs (identity mask, reference :91-97).
+    save_seg_mask(first_mask, os.path.join(mask_dir, first_name + ".png"))
+    if viz:
+        save_overlay(first_frame, first_mask,
+                     os.path.join(overlay_dir, first_name + ".png"))
+
+    fps = FrameSecondMeter()
+    pool = ThreadPoolExecutor(max_workers=2)
+    futures = [pool.submit(_decode, p) for p in img_list[1:3]]
+
+    for idx, path in enumerate(img_list[1:]):
+        frame = futures[idx].result()
+        if idx + 3 <= len(img_list) - 1:
+            futures.append(pool.submit(_decode, img_list[idx + 3]))
+        state, label = engine.step(state, frame, idx + 1)
+        pred = np.asarray(jax.device_get(label))
+        fps.add_frame_n(1)
+
+        name = os.path.splitext(os.path.basename(path))[0]
+        save_seg_mask(pred, os.path.join(mask_dir, name + ".png"))
+        if viz:
+            save_overlay(frame, pred, os.path.join(overlay_dir, name + ".png"))
+
+    fps.end()
+    pool.shutdown()
+    report = fb.report(state)
+    print(gct(), report)
+    print(gct(), f"throughput: {fps.fps:.3f} frames/s")
+    return {"fps": fps.fps, "frames": fps.frame_n, "bank_report": report,
+            "mask_dir": mask_dir}
