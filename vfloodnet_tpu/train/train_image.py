@@ -1,0 +1,97 @@
+"""LinkNet image-segmentation trainer.
+
+Same objective as the reference (train_image_seg.py:30-137): Dice loss +
+IoU@0.5 metric, Adam at 1e-4 dropping to 1e-5 at half the epochs. TPU-native:
+batches sharded over the mesh 'data' axis under one jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import LinkNet
+from ..parallel.mesh import DATA_AXIS
+
+
+@dataclasses.dataclass
+class ImageTrainConfig:
+    lr: float = 1e-4
+    lr_late: float = 1e-5          # train_image_seg.py: lr drop at half
+    epochs: int = 40
+    batch_size: int = 8
+    input_size: int = 416
+    seed: int = 0
+
+
+class ImageTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def dice_loss(pred: jnp.ndarray, target: jnp.ndarray,
+              eps: float = 1.0) -> jnp.ndarray:
+    """Soft Dice loss on probabilities (smp DiceLoss semantics)."""
+    p = pred.reshape(pred.shape[0], -1)
+    t = target.reshape(target.shape[0], -1)
+    inter = jnp.sum(p * t, axis=1)
+    denom = jnp.sum(p, axis=1) + jnp.sum(t, axis=1)
+    dice = (2.0 * inter + eps) / (denom + eps)
+    return 1.0 - dice.mean()
+
+
+def iou_metric(pred: jnp.ndarray, target: jnp.ndarray,
+               thres: float = 0.5, eps: float = 1e-7) -> jnp.ndarray:
+    """IoU at threshold 0.5 (smp IoU metric semantics)."""
+    p = (pred > thres).astype(jnp.float32).reshape(pred.shape[0], -1)
+    t = (target > 0.5).astype(jnp.float32).reshape(target.shape[0], -1)
+    inter = jnp.sum(p * t, axis=1)
+    union = jnp.sum(p, axis=1) + jnp.sum(t, axis=1) - inter
+    return ((inter + eps) / (union + eps)).mean()
+
+
+def init_image_train_state(model: LinkNet, variables, cfg: ImageTrainConfig,
+                           steps_per_epoch: int = 1000
+                           ) -> Tuple[ImageTrainState, optax.GradientTransformation]:
+    schedule = optax.piecewise_constant_schedule(
+        cfg.lr, {cfg.epochs // 2 * steps_per_epoch: cfg.lr_late / cfg.lr})
+    tx = optax.adam(schedule)
+    params = variables["params"]
+    return ImageTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(params),
+    ), tx
+
+
+def make_image_train_step(model: LinkNet, tx: optax.GradientTransformation,
+                          mesh: Optional[Mesh] = None) -> Callable:
+    def step(state: ImageTrainState, images, masks):
+        """images [B,H,W,3] float01; masks [B,H,W] float {0,1}."""
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            prob = model.apply(variables, images)[..., 0]
+            loss = dice_loss(prob, masks)
+            return loss, prob
+        (loss, prob), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        iou = iou_metric(prob, masks)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), loss, iou
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0)
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step, donate_argnums=0,
+                   in_shardings=(None, batch_sharding, batch_sharding))
