@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: 1080p video-segmentation throughput (frames/sec/chip).
+
+The north-star workload (BASELINE.md): AFB-URR memory-propagated water
+segmentation of 1080p video at the reference operating point (480px short
+side, feature-bank budget 250k), measured as steady-state frames/sec on one
+chip. Each frame runs the FULL per-frame pipeline on device: bicubic
+downsample, query encode, bank attention read over the full 100k-slot bank,
+decode + uncertainty refinement, memory encode, bank merge/append/evict,
+full-res upsample + argmax + largest-CC cleanup.
+
+``vs_baseline``: the reference publishes no throughput number
+(BASELINE.md: FPS meter exists but is never wired in). We use an estimated
+8 frames/s for the PyTorch reference on its documented 11GB-GPU operating
+envelope (AFB-URR-class space-time-memory models report mid-single-digit
+fps at 480p), so vs_baseline = fps / 8.0. The BASELINE.json target is
+vs_baseline >= 5.
+"""
+
+import json
+import time
+
+import numpy as np
+
+ASSUMED_PYTORCH_GPU_FPS = 8.0
+WARMUP_FRAMES = 3
+MEASURE_FRAMES = 20
+
+
+def main():
+    from vfloodnet_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    from vfloodnet_tpu.memory import FeatureBank
+    from vfloodnet_tpu.models import AFBURR
+    from vfloodnet_tpu.pipelines.video_seg import VideoSegEngine
+
+    model = AFBURR()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((48, 64, 3)),
+                           jnp.zeros((2, 48, 64)), method=model.init_all)
+    fb = FeatureBank(obj_n=2, memory_budget=250_000)
+    engine = VideoSegEngine(model, variables, fb, downsample=480,
+                            postprocess=True)
+
+    rng = np.random.RandomState(0)
+    frame0 = rng.rand(1080, 1920, 3).astype(np.float32)
+    mask0 = np.zeros((1080, 1920), np.uint8)
+    mask0[540:, :] = 1
+
+    state = engine.bootstrap(frame0, mask0)
+    frames = [rng.rand(1080, 1920, 3).astype(np.float32) for _ in range(4)]
+
+    # Warmup (compiles)
+    for i in range(WARMUP_FRAMES):
+        state, label = engine.step(state, frames[i % len(frames)], i + 1)
+    label.block_until_ready()
+
+    lat = []
+    t0 = time.time()
+    for i in range(MEASURE_FRAMES):
+        t1 = time.time()
+        state, label = engine.step(state, frames[i % len(frames)],
+                                   WARMUP_FRAMES + i + 1)
+        label.block_until_ready()
+        lat.append(time.time() - t1)
+    total = time.time() - t0
+
+    fps = MEASURE_FRAMES / total
+    p50_ms = float(np.percentile(np.array(lat) * 1000.0, 50))
+    print(json.dumps({
+        "metric": "1080p_video_seg_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / ASSUMED_PYTORCH_GPU_FPS, 3),
+        "p50_latency_ms": round(p50_ms, 1),
+        "bank_budget": 250_000,
+        "operating_short_side": 480,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Randomized connected-components correctness vs scipy.ndimage."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from vfloodnet_tpu.ops.cc import connected_components, largest_connected_component
+
+_STRUCT8 = np.ones((3, 3), int)
+
+
+@pytest.mark.parametrize("density,seed", [(0.3, 0), (0.5, 1), (0.6, 2),
+                                          (0.7, 3)])
+def test_cc_matches_scipy_random(density, seed):
+    rng = np.random.RandomState(seed)
+    mask = (rng.rand(64, 96) < density).astype(np.uint8)
+    ours = np.asarray(connected_components(jnp.asarray(mask)))
+    ref, n_ref = ndimage.label(mask, structure=_STRUCT8)
+    # same partition: bijection between our labels and scipy's
+    ours_ids = ours[mask == 1]
+    ref_ids = ref[mask == 1]
+    pairs = set(zip(ours_ids.tolist(), ref_ids.tolist()))
+    assert len(pairs) == n_ref == len(set(np.unique(ours_ids)))
+
+
+def test_largest_cc_matches_scipy_random():
+    rng = np.random.RandomState(7)
+    mask = (rng.rand(80, 120) < 0.55).astype(np.uint8)
+    ours = np.asarray(largest_connected_component(jnp.asarray(mask)))
+    ref, n = ndimage.label(mask, structure=_STRUCT8)
+    sizes = ndimage.sum(mask, ref, index=range(1, n + 1))
+    best = int(np.argmax(sizes)) + 1
+    np.testing.assert_array_equal(ours, (ref == best).astype(np.uint8))
+
+
+def test_cc_converges_fast_on_percolation():
+    # the pointer-jumping variant must converge well inside max_iters
+    rng = np.random.RandomState(11)
+    mask = (rng.rand(128, 128) < 0.6).astype(np.uint8)
+    out = np.asarray(connected_components(jnp.asarray(mask), max_iters=16))
+    ref, n = ndimage.label(mask, structure=_STRUCT8)
+    pairs = set(zip(out[mask == 1].tolist(), ref[mask == 1].tolist()))
+    assert len(pairs) == n

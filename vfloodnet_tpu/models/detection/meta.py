@@ -1,0 +1,230 @@
+"""Generalized R-CNN assembly: backbone -> FPN -> RPN -> ROI heads.
+
+JAX counterpart of the reference's two Detectron2 predictors
+(estimation/object_detection.py:16-25): PointRend instance segmentation
+(ResNeXt-101-32x8d, stop signs) and Keypoint R-CNN (ResNet-101, people).
+Inference only (the reference uses released COCO weights). Static shapes:
+fixed proposal/detection counts with validity masks; one compiled graph per
+input resolution bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.roi_align import multilevel_roi_align, roi_align
+from .backbone import DetectionResNet
+from .fpn import FPN
+from .heads import (BoxHead, KeypointHead, MaskHead, PointHead, box_inference,
+                    pointrend_refine)
+from .rpn import RPN
+
+# Detectron2 caffe-style preprocessing (BGR, mean-subtract, no std scaling)
+PIXEL_MEAN_BGR = (103.530, 116.280, 123.675)
+STRIDES = (4, 8, 16, 32)
+
+
+@dataclasses.dataclass(frozen=True)
+class RCNNConfig:
+    num_classes: int = 80
+    groups: int = 1
+    width_per_group: int = 64
+    score_thresh: float = 0.5
+    nms_thresh: float = 0.5
+    max_detections: int = 100
+    post_nms_topk: int = 1000
+    with_masks: bool = False
+    with_pointrend: bool = False
+    with_keypoints: bool = False
+    num_keypoints: int = 17
+    # input resize (Detectron2 test default)
+    test_short_side: int = 800
+    test_max_side: int = 1333
+
+
+class GeneralizedRCNN(nn.Module):
+    cfg: RCNNConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = DetectionResNet(
+            groups=self.cfg.groups, width_per_group=self.cfg.width_per_group,
+            dtype=self.dtype)
+        self.fpn = FPN(dtype=self.dtype)
+        self.rpn = RPN(post_nms_topk=self.cfg.post_nms_topk, dtype=self.dtype)
+        self.box_head = BoxHead(self.cfg.num_classes, dtype=self.dtype)
+        if self.cfg.with_masks:
+            self.mask_head = MaskHead(self.cfg.num_classes, dtype=self.dtype)
+        if self.cfg.with_pointrend:
+            self.point_head = PointHead(self.cfg.num_classes, dtype=self.dtype)
+        if self.cfg.with_keypoints:
+            self.keypoint_head = KeypointHead(self.cfg.num_keypoints,
+                                              dtype=self.dtype)
+
+    def __call__(self, image_bgr: jnp.ndarray):
+        """image_bgr [H, W, 3] float (0..255 BGR, already resized + padded to
+        a multiple of 32). Returns a dict of static-shape detections."""
+        h, w, _ = image_bgr.shape
+        x = (image_bgr - jnp.asarray(PIXEL_MEAN_BGR))[None]
+        c2, c3, c4, c5 = self.backbone(x.astype(self.dtype))
+        pyramid = self.fpn((c2, c3, c4, c5))                 # P2..P6
+
+        proposals, _, prop_valid = self.rpn(pyramid, (h, w))
+
+        box_feats = multilevel_roi_align(
+            [p[0] for p in pyramid[:4]], proposals, STRIDES, pooled=7)
+        scores, deltas = self.box_head(box_feats)
+        boxes, det_scores, det_classes, det_valid = box_inference(
+            proposals, prop_valid, scores, deltas, (h, w),
+            self.cfg.score_thresh, self.cfg.nms_thresh,
+            self.cfg.max_detections)
+
+        out = {"boxes": boxes, "scores": det_scores, "classes": det_classes,
+               "valid": det_valid}
+
+        if self.cfg.with_masks:
+            mask_feats = multilevel_roi_align(
+                [p[0] for p in pyramid[:4]], boxes, STRIDES, pooled=14)
+            mask_logits = self.mask_head(mask_feats)         # [D, 28, 28, K]
+            sel = jnp.take_along_axis(
+                mask_logits, det_classes[:, None, None, None], axis=-1)[..., 0]
+            out["mask_logits"] = sel                         # [D, 28, 28]
+            if self.cfg.with_pointrend:
+                out["p2"] = pyramid[0][0]
+
+        if self.cfg.with_keypoints:
+            kp_feats = multilevel_roi_align(
+                [p[0] for p in pyramid[:4]], boxes, STRIDES, pooled=14)
+            heat = self.keypoint_head(kp_feats)              # [D, 56, 56, K]
+            out["keypoint_heatmaps"] = heat
+
+        return out
+
+
+def preprocess_bgr(img_bgr: np.ndarray, short: int, max_side: int
+                   ) -> Tuple[np.ndarray, float]:
+    """Detectron2 test-time resize (shortest edge, capped) + pad to /32.
+    Returns (padded float image, scale)."""
+    import cv2
+    h, w = img_bgr.shape[:2]
+    scale = short / min(h, w)
+    if max(h, w) * scale > max_side:
+        scale = max_side / max(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = cv2.resize(img_bgr, (nw, nh)).astype(np.float32)
+    ph = -(-nh // 32) * 32
+    pw = -(-nw // 32) * 32
+    out = np.zeros((ph, pw, 3), np.float32)
+    out[:nh, :nw] = resized
+    return out, scale
+
+
+def paste_mask(mask_logit: np.ndarray, box: np.ndarray, out_hw,
+               thresh: float = 0.5) -> np.ndarray:
+    """Paste a 28x28 (or refined MxM) mask logit into the full image."""
+    import cv2
+    x1, y1, x2, y2 = [int(round(v)) for v in box]
+    x1, y1 = max(x1, 0), max(y1, 0)
+    x2 = min(x2, out_hw[1])
+    y2 = min(y2, out_hw[0])
+    out = np.zeros(out_hw, np.uint8)
+    if x2 <= x1 or y2 <= y1:
+        return out
+    prob = 1.0 / (1.0 + np.exp(-mask_logit))
+    resized = cv2.resize(prob, (x2 - x1, y2 - y1))
+    out[y1:y2, x1:x2] = (resized > thresh).astype(np.uint8)
+    return out
+
+
+def build_detector(cfg: RCNNConfig, variables, refine_points: bool = True
+                   ) -> Callable:
+    """Wrap a GeneralizedRCNN into the host-level Detector contract used by
+    the estimation pipeline (numpy in / Instances out)."""
+    from ...pipelines.object_detection import Instances
+
+    model = GeneralizedRCNN(cfg)
+    apply_fn = jax.jit(lambda img: model.apply(variables, img))
+
+    def detector(img_bgr: np.ndarray) -> Instances:
+        padded, scale = preprocess_bgr(img_bgr, cfg.test_short_side,
+                                       cfg.test_max_side)
+        out = jax.device_get(apply_fn(jax.device_put(padded)))
+        valid = out["valid"]
+        boxes = out["boxes"] / scale
+        n = int(valid.sum())
+        h, w = img_bgr.shape[:2]
+        masks = None
+        if "mask_logits" in out:
+            masks = np.stack([
+                paste_mask(out["mask_logits"][i], boxes[i], (h, w))
+                for i in range(len(boxes))])
+        keypoints = None
+        if "keypoint_heatmaps" in out:
+            keypoints = _heatmaps_to_keypoints(out["keypoint_heatmaps"],
+                                               boxes)
+        return Instances(boxes=boxes[:n], scores=out["scores"][:n],
+                         classes=out["classes"][:n],
+                         masks=None if masks is None else masks[:n],
+                         keypoints=None if keypoints is None else keypoints[:n])
+
+    return detector
+
+
+def _heatmaps_to_keypoints(heatmaps: np.ndarray, boxes: np.ndarray
+                           ) -> np.ndarray:
+    """[D, S, S, K] heatmaps -> [D, K, 3] (x, y, score) in image coords."""
+    d, s, _, k = heatmaps.shape
+    flat = heatmaps.reshape(d, s * s, k)
+    idx = flat.argmax(axis=1)                          # [D, K]
+    score = flat.max(axis=1)
+    ys = (idx // s + 0.5) / s
+    xs = (idx % s + 0.5) / s
+    x1 = boxes[:, 0:1]
+    y1 = boxes[:, 1:2]
+    bw = np.maximum(boxes[:, 2:3] - boxes[:, 0:1], 1e-6)
+    bh = np.maximum(boxes[:, 3:4] - boxes[:, 1:2], 1e-6)
+    return np.stack([x1 + xs * bw, y1 + ys * bh, score], axis=-1)
+
+
+def stopsign_rcnn_config() -> RCNNConfig:
+    """PointRend X-101-32x8d instance segmentation (stop signs)."""
+    return RCNNConfig(groups=32, width_per_group=8, score_thresh=0.5,
+                      with_masks=True, with_pointrend=True)
+
+
+def keypoint_rcnn_config() -> RCNNConfig:
+    """Keypoint R-CNN R-101 (people)."""
+    return RCNNConfig(groups=1, width_per_group=64, score_thresh=0.7,
+                      num_classes=1, with_keypoints=True)
+
+
+def load_default_detector(opt: str, model_path: Optional[str] = None):
+    """Build the detector for --opt {stopsign, people}. Loads converted
+    weights when available; random init with a warning otherwise (smoke
+    mode — real runs need converted Detectron2 COCO weights)."""
+    import os
+    import warnings
+
+    cfg = stopsign_rcnn_config() if opt == "stopsign" else \
+        keypoint_rcnn_config()
+    model = GeneralizedRCNN(cfg)
+
+    default_paths = {"stopsign": "records/pointrend_x101_tpu",
+                     "people": "records/keypoint_r101_tpu"}
+    path = model_path or default_paths.get(opt)
+
+    if path and os.path.isdir(path):
+        from ...core.checkpoint import restore_checkpoint
+        dummy = model.init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)))
+        variables = restore_checkpoint(path, target=dummy)
+    else:
+        warnings.warn(f"No detector checkpoint at {path!r}; random init "
+                      "(smoke mode).")
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)))
+    return build_detector(cfg, variables)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.int32(2**30)
+_INF = 2**30  # python int: avoid creating device constants at import time
 
 
 def _sweep(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
@@ -56,7 +56,18 @@ def _sweep(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
     for axis in (0, 1):
         for reverse in (False, True):
             big = jnp.minimum(big, run_cummin(big, axis, reverse))
-    return jnp.where(fg, big, _INF)
+    big = jnp.where(fg, big, _INF)
+
+    # Pointer jumping (union-find path shortcutting): a label is always the
+    # raster index of a pixel in the same component, so L <- L[L] is safe and
+    # contracts label chains geometrically — snake/percolation masks converge
+    # in O(log diameter) sweeps instead of O(diameter).
+    flat = big.reshape(-1)
+    for _ in range(2):
+        idx = jnp.clip(flat, 0, h * w - 1)
+        jumped = jnp.where(flat < _INF, flat[idx], _INF)
+        flat = jnp.minimum(flat, jumped)
+    return jnp.where(fg, flat.reshape(h, w), _INF)
 
 
 def connected_components(mask: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:

@@ -37,11 +37,19 @@ def short_side_size(h: int, w: int, target: int) -> Tuple[int, int]:
 
 
 def resize(x: jnp.ndarray, out_hw: Tuple[int, int], method: str = "bilinear",
-           spatial_axes: Tuple[int, int] = (-3, -2)) -> jnp.ndarray:
+           spatial_axes: Tuple[int, int] = (-3, -2),
+           antialias: bool = False) -> jnp.ndarray:
     """Resize spatial axes of ``x`` to ``out_hw``.
 
     Defaults to NHWC layout (axes -3, -2). ``method`` in
     {nearest, bilinear, bicubic}.
+
+    ``antialias`` defaults to False to match the reference's torchvision
+    *tensor* resizes (TF.resize without antialias, test_video_seg.py:88,107,
+    114; test_image_seg.py:108) — and it compiles to a much smaller XLA
+    graph. Set True only where PIL semantics are required (PIL always
+    antialiases, e.g. the image model's input resize via tf.Resize on a PIL
+    image, test_image_seg.py:57).
     """
     h_ax = spatial_axes[0] % x.ndim
     w_ax = spatial_axes[1] % x.ndim
@@ -51,13 +59,16 @@ def resize(x: jnp.ndarray, out_hw: Tuple[int, int], method: str = "bilinear",
     if method == "nearest":
         return jax.image.resize(x, shape, method="nearest")
     # Compute in f32 for accuracy, cast back.
-    out = jax.image.resize(x.astype(jnp.float32), shape, method=jmethod, antialias=True)
+    out = jax.image.resize(x.astype(jnp.float32), shape, method=jmethod,
+                           antialias=antialias)
     return out.astype(x.dtype)
 
 
 def resize_short_side(x: jnp.ndarray, target: int, method: str = "bilinear",
-                      spatial_axes: Tuple[int, int] = (-3, -2)) -> jnp.ndarray:
+                      spatial_axes: Tuple[int, int] = (-3, -2),
+                      antialias: bool = False) -> jnp.ndarray:
     h_ax = spatial_axes[0] % x.ndim
     w_ax = spatial_axes[1] % x.ndim
     out_hw = short_side_size(x.shape[h_ax], x.shape[w_ax], target)
-    return resize(x, out_hw, method=method, spatial_axes=spatial_axes)
+    return resize(x, out_hw, method=method, spatial_axes=spatial_axes,
+                  antialias=antialias)

@@ -28,13 +28,20 @@ def _build_pipeline(model, variables, postprocess: bool = True):
     resize-back, threshold, largest-CC — all device-side."""
     @jax.jit
     def run(img01: jnp.ndarray):
-        x = ops.resize(img01[None], MODEL_DIMS, "bilinear")
+        x = ops.resize(img01[None], MODEL_DIMS, "bilinear", antialias=True)
         prob = model.apply(variables, x)[0]             # [416,416,1] sigmoid
         up = ops.resize(prob, img01.shape[:2], "bilinear",
                         spatial_axes=(0, 1))[..., 0]
         label = (up > 0.5).astype(jnp.uint8)
         if postprocess:
-            label = ops.largest_connected_component(label)
+            # component filter at model resolution, keep-mask upsampled —
+            # equivalent to the reference's full-res largest-CC cleanup
+            # (myutils/data.py:17-37) at a fraction of the cost.
+            keep = ops.largest_connected_component(
+                (prob[..., 0] > 0.5).astype(jnp.uint8))
+            keep_full = ops.resize(keep, img01.shape[:2], "nearest",
+                                   spatial_axes=(-2, -1))
+            label = label * keep_full
         return label
     return run
 
@@ -67,7 +74,7 @@ def run_image_segmentation(test_path: str, test_name: str,
     results = []
     for path in paths:
         img = np.asarray(load_image(path), np.float32) / 255.0
-        label = run(jnp.asarray(img))
+        label = run(jax.device_put(img))
         pred = np.asarray(jax.device_get(label))
 
         base = os.path.splitext(os.path.basename(path))[0]

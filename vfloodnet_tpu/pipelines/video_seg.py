@@ -77,24 +77,39 @@ class VideoSegEngine:
             # Full-resolution label map, device-side.
             full_hw = frame_full.shape[:2]
             up = ops.resize(pred[0], full_hw, "bicubic", spatial_axes=(-2, -1))
-            label = jnp.argmax(up, axis=0).astype(jnp.uint8)
-            if self.postprocess:
-                label = ops.largest_connected_component(label)
-            return state, label
+            label_full = jnp.argmax(up, axis=0).astype(jnp.uint8)
+            label_small = jnp.argmax(pred[0], axis=0).astype(jnp.uint8)
+            return state, label_full, label_small
+
+        @jax.jit
+        def _clean(label_full, label_small):
+            """Largest-CC cleanup. The component filter runs at the small
+            operating resolution (CC topology is scale-invariant for the
+            bicubically upsampled mask) and the keep-mask is nearest-upsampled
+            — same behaviour as the reference's full-res
+            ``postprocessing_pred`` (myutils/data.py:17-37) at a fraction of
+            the cost."""
+            keep = ops.largest_connected_component(label_small)
+            keep_full = ops.resize(keep, label_full.shape, "nearest",
+                                   spatial_axes=(-2, -1))
+            return label_full * keep_full
 
         self._init_bank = _init_bank
         self._step = _step
+        self._clean = _clean
 
     def bootstrap(self, first_frame: np.ndarray, first_mask: np.ndarray,
                   ) -> FeatureBankState:
         """Seed the bank from frame 0 (frame [H,W,3] float01, mask [H,W]
         uint8 labels)."""
         small_hw = ops.short_side_size(*first_frame.shape[:2], self.downsample)
-        frame = jnp.asarray(first_frame, jnp.float32)
+        # device_put (async DMA) instead of jnp.asarray: asarray is a slow
+        # synchronous copy through the host tunnel (~25x slower for 1080p).
+        frame = jax.device_put(np.asarray(first_frame, np.float32))
         frame_small = ops.resize(frame, small_hw, "bicubic",
                                  spatial_axes=(0, 1))
         mask_oh = to_onehot(first_mask, self.fb.obj_n)
-        mask_small = ops.resize(jnp.asarray(mask_oh), small_hw, "nearest",
+        mask_small = ops.resize(jax.device_put(mask_oh), small_hw, "nearest",
                                 spatial_axes=(-2, -1))
         k4, v4 = self._init_bank(frame_small, mask_small)
         return self.fb.init_bank(k4, v4)
@@ -103,11 +118,15 @@ class VideoSegEngine:
              frame_idx: int) -> Tuple[FeatureBankState, jnp.ndarray]:
         """Process one frame (full-res float01 [H,W,3]). Returns (state,
         full-res uint8 label map on device)."""
-        frame = jnp.asarray(frame, jnp.float32)
+        frame = jax.device_put(np.asarray(frame, np.float32))
         small_hw = ops.short_side_size(*frame.shape[:2], self.downsample)
         frame_small = ops.resize(frame, small_hw, "bicubic",
                                  spatial_axes=(0, 1))
-        return self._step(state, frame_small, frame, jnp.float32(frame_idx))
+        state, label_full, label_small = self._step(
+            state, frame_small, frame, jnp.float32(frame_idx))
+        if self.postprocess:
+            label_full = self._clean(label_full, label_small)
+        return state, label_full
 
 
 def _decode(path: str) -> np.ndarray:
