@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Batch video segmentation over a benchmark directory tree.
+
+Same contract as the reference scripts/batch_test_video_seg.py:40-47: each
+subdirectory of --benchmark-root is a video named by its directory.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vfloodnet_tpu.pipelines.loaders import load_afb_urr  # noqa: E402
+from vfloodnet_tpu.pipelines.video_seg import run_video_segmentation  # noqa: E402
+from vfloodnet_tpu.utils import gct  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--benchmark-root", type=str, required=True)
+    p.add_argument("--out-dir", type=str, default="./output/segs")
+    p.add_argument("--model-path", type=str, default="records/video_seg_tpu")
+    p.add_argument("--budget", type=int, default=250000)
+    args = p.parse_args()
+
+    model, variables = load_afb_urr(args.model_path)
+    names = sorted(d for d in os.listdir(args.benchmark_root)
+                   if os.path.isdir(os.path.join(args.benchmark_root, d)))
+    for name in names:
+        print(gct(), f"=== {name} ===")
+        run_video_segmentation(os.path.join(args.benchmark_root, name), name,
+                               args.out_dir, model=model, variables=variables,
+                               budget=args.budget)
+
+
+if __name__ == "__main__":
+    main()
+    print(gct(), "Batch video segmentation done.")
