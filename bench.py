@@ -37,10 +37,12 @@ def main():
     from vfloodnet_tpu.models import AFBURR
     from vfloodnet_tpu.pipelines.video_seg import VideoSegEngine
 
-    model = AFBURR()
+    # bf16 production config: convs and bank matmuls run at full MXU rate
+    # with f32 accumulation (softmax/normalisation stay f32).
+    model = AFBURR(dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((48, 64, 3)),
                            jnp.zeros((2, 48, 64)), method=model.init_all)
-    fb = FeatureBank(obj_n=2, memory_budget=250_000)
+    fb = FeatureBank(obj_n=2, memory_budget=250_000, dtype=jnp.bfloat16)
     engine = VideoSegEngine(model, variables, fb, downsample=480,
                             postprocess=True)
 
@@ -50,7 +52,10 @@ def main():
     mask0[540:, :] = 1
 
     state = engine.bootstrap(frame0, mask0)
-    frames = [rng.rand(1080, 1920, 3).astype(np.float32) for _ in range(4)]
+    # pre-uploaded frames emulate the pipeline's prefetch threads (H2D is
+    # overlapped with compute in the streaming CLI loop)
+    frames = [engine.upload((rng.rand(1080, 1920, 3) * 255).astype(np.uint8))
+              for _ in range(4)]
 
     # Warmup (compiles)
     for i in range(WARMUP_FRAMES):

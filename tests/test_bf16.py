@@ -1,0 +1,60 @@
+"""bf16 production path: numerics stay close to the f32 reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfloodnet_tpu.memory import FeatureBank
+from vfloodnet_tpu.models import AFBURR
+from vfloodnet_tpu.ops.attention import _xla_read
+
+
+def test_attention_read_bf16_close_to_f32():
+    rng = np.random.RandomState(0)
+    n, dk, dv, p = 256, 16, 24, 40
+    keys = rng.randn(n, dk).astype(np.float32)
+    values = rng.randn(n, dv).astype(np.float32)
+    valid = np.ones(n, bool)
+    q = rng.randn(p, dk).astype(np.float32)
+
+    mem32, cnt32 = _xla_read(jnp.asarray(keys), jnp.asarray(values),
+                             jnp.asarray(valid), jnp.asarray(q), 1e-3, 64)
+    mem16, cnt16 = _xla_read(jnp.asarray(keys, jnp.bfloat16),
+                             jnp.asarray(values, jnp.bfloat16),
+                             jnp.asarray(valid), jnp.asarray(q), 1e-3, 64)
+    err = np.abs(np.asarray(mem16, np.float32) - np.asarray(mem32))
+    scale = np.abs(np.asarray(mem32)).mean()
+    assert err.mean() / scale < 0.05
+    # usage counts stay within a few hits
+    assert np.abs(np.asarray(cnt16) - np.asarray(cnt32)).mean() < 2.0
+
+
+def test_afb_urr_bf16_mask_agreement():
+    rng = np.random.RandomState(1)
+    frame0 = jnp.asarray(rng.rand(64, 48, 3), jnp.float32)
+    mask0 = jnp.zeros((2, 64, 48)).at[1, 16:48, 8:40].set(1.0)
+    mask0 = mask0.at[0].set(1.0 - mask0[1])
+    frame1 = jnp.asarray(rng.rand(1, 64, 48, 3), jnp.float32)
+
+    preds = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model = AFBURR(read_chunk=256, dtype=dtype)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((64, 48, 3)),
+                               jnp.zeros((2, 64, 48)), method=model.init_all)
+        if dtype == jnp.float32:
+            variables_f32 = variables
+        else:
+            # same weights: reuse the f32 init (params stay f32; only
+            # compute dtype differs)
+            variables = variables_f32
+        fb = FeatureBank(obj_n=2, memory_budget=2048, dtype=dtype)
+        k4, v4 = model.apply(variables, frame0, mask0, method=model.memorize)
+        state = fb.init_bank(k4, v4)
+        score, _, _ = model.apply(variables, frame1, state.keys, state.values,
+                                  state.valid, False, method=model.segment)
+        preds[str(dtype.__name__)] = np.asarray(
+            jnp.argmax(score, axis=1), np.uint8)
+
+    a, b = preds["float32"], preds["bfloat16"]
+    agreement = (a == b).mean()
+    assert agreement > 0.97, agreement

@@ -54,18 +54,24 @@ def _xla_read(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray,
     values_c = values_p.reshape(n_chunks, chunk, dv)
     valid_c = valid_p.reshape(n_chunks, chunk)
 
-    q32 = q.astype(jnp.float32)
+    # Feed the MXU in the bank's storage dtype (bf16 banks run the matmuls
+    # at full MXU rate) while accumulating in f32 via preferred_element_type.
+    mm_dtype = keys.dtype
+    q_mm = q.astype(mm_dtype)
 
     def sweep1(carry, inp):
         m, l, acc = carry
         k_c, v_c, ok = inp
-        s = (q32 @ k_c.astype(jnp.float32).T) * scale           # [P, chunk]
-        s = jnp.where(ok[None, :], s, NEG_INF)
+        s = jax.lax.dot(q_mm, k_c.T,
+                        preferred_element_type=jnp.float32) * scale
+        s = jnp.where(ok[None, :], s, NEG_INF)                  # [P, chunk]
         m_new = jnp.maximum(m, jnp.max(s, axis=1))
         alpha = jnp.exp(m - m_new)
         e = jnp.exp(s - m_new[:, None])
         l_new = l * alpha + jnp.sum(e, axis=1)
-        acc_new = acc * alpha[:, None] + e @ v_c.astype(jnp.float32)
+        pv = jax.lax.dot(e.astype(mm_dtype), v_c,
+                         preferred_element_type=jnp.float32)
+        acc_new = acc * alpha[:, None] + pv
         return (m_new, l_new, acc_new), None
 
     init = (jnp.full((p_n,), NEG_INF, jnp.float32),
@@ -80,13 +86,41 @@ def _xla_read(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray,
 
     def sweep2(_, inp):
         k_c, ok = inp
-        s = (q32 @ k_c.astype(jnp.float32).T) * scale              # [P, chunk]
+        s = jax.lax.dot(q_mm, k_c.T,
+                        preferred_element_type=jnp.float32) * scale
         hit = jnp.logical_and(s > log_thres[:, None], ok[None, :])
         return None, jnp.sum(hit.astype(jnp.float32), axis=0)      # [chunk]
 
     _, cnt_c = jax.lax.scan(sweep2, None, (keys_c, valid_c))
     cnt = cnt_c.reshape(pad_n)[:n]
     return mem.astype(values.dtype), cnt
+
+
+def _xla_read_dense(keys: jnp.ndarray, values: jnp.ndarray,
+                    valid: jnp.ndarray, q: jnp.ndarray,
+                    thres: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-shot read: materialises the [P, N] score matrix. Fastest when it
+    fits HBM (one big MXU matmul instead of a serialised chunk scan)."""
+    dk = keys.shape[1]
+    scale = 1.0 / math.sqrt(dk)
+    mm_dtype = keys.dtype
+    s = jax.lax.dot(q.astype(mm_dtype), keys.T,
+                    preferred_element_type=jnp.float32) * scale   # [P, N]
+    s = jnp.where(valid[None, :], s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+    p = e / l
+    mem = jax.lax.dot(p.astype(mm_dtype), values,
+                      preferred_element_type=jnp.float32)
+    cnt = jnp.sum(jnp.logical_and(p > thres, valid[None, :]),
+                  axis=0).astype(jnp.float32)
+    return mem.astype(values.dtype), cnt
+
+
+# Use the dense one-shot path when the score matrix stays under this many
+# elements (f32 bytes = 4x): 256M elements = 1 GB scores.
+DENSE_SCORE_ELEMENTS = 256 * 1024 * 1024
 
 
 def bank_attention_read(keys: jnp.ndarray, values: jnp.ndarray,
@@ -108,11 +142,10 @@ def bank_attention_read(keys: jnp.ndarray, values: jnp.ndarray,
     Returns:
       mem [P, dv], usage count cnt [N] (float32).
     """
-    if impl in ("pallas", "auto"):
-        try:
-            from .attention_pallas import pallas_bank_read
-            if impl == "pallas":
-                return pallas_bank_read(keys, values, valid, q, thres)
-        except ImportError:
-            pass
+    if impl == "pallas":
+        from .attention_pallas import pallas_bank_read
+        return pallas_bank_read(keys, values, valid, q, thres)
+    if impl == "dense" or (impl == "auto" and
+                           keys.shape[0] * q.shape[0] <= DENSE_SCORE_ELEMENTS):
+        return _xla_read_dense(keys, values, valid, q, thres)
     return _xla_read(keys, values, valid, q, thres, chunk)

@@ -48,16 +48,29 @@ def _best_match(normed_bank: jnp.ndarray, valid: jnp.ndarray,
     """
     n, d = normed_bank.shape
     m = normed_new.shape[0]
+    if n * m <= 256 * 1024 * 1024:
+        # dense one-shot: one big MXU matmul beats a serialised chunk scan
+        corr = jax.lax.dot(normed_new.astype(normed_bank.dtype),
+                           normed_bank.T,
+                           preferred_element_type=jnp.float32)   # [M, N]
+        corr = jnp.where(valid[None, :], corr, -2.0)
+        best_idx = jnp.argmax(corr, axis=1).astype(jnp.int32)
+        best_corr = jnp.take_along_axis(corr, best_idx[:, None], axis=1)[:, 0]
+        return best_corr, best_idx
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
     bank_c = jnp.pad(normed_bank, ((0, pad), (0, 0))).reshape(n_chunks, chunk, d)
     valid_c = jnp.pad(valid, (0, pad)).reshape(n_chunks, chunk)
 
+    mm_dtype = normed_bank.dtype
+    new_mm = normed_new.astype(mm_dtype)
+
     def step(carry, inp):
         best_corr, best_idx = carry
         (k_c, ok), ci = inp
-        corr = normed_new.astype(jnp.float32) @ k_c.astype(jnp.float32).T  # [M, chunk]
+        corr = jax.lax.dot(new_mm, k_c.T,
+                           preferred_element_type=jnp.float32)  # [M, chunk]
         corr = jnp.where(ok[None, :], corr, -2.0)
         local_best = jnp.argmax(corr, axis=1)
         local_val = jnp.take_along_axis(corr, local_best[:, None], axis=1)[:, 0]
@@ -126,15 +139,18 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
     append_mask = jnp.logical_not(merge_mask)
     age = jnp.maximum(frame_idx - birth, 1.0)
     lfu = usage / age
-    # Replacement priority (ascending sort): free slots first (-2), then
-    # lowest-LFU valid slots; slots merged this frame are protected.
+    # Replacement priority: free slots first (-2), then lowest-LFU valid
+    # slots; slots merged this frame are protected. At most M slots can be
+    # overwritten per step, so a top-k (k = M) over negated priority replaces
+    # a full argsort of the 100k-slot bank.
     protected = hits > 0
     prio = jnp.where(valid, lfu, -2.0)
     prio = jnp.where(protected, jnp.float32(1e30), prio)
-    victim_order = jnp.argsort(prio)                       # [N] slot ids
+    k = min(m, n)
+    _, victim_order = jax.lax.top_k(-prio, k)              # [k] slot ids
 
     rank = jnp.cumsum(append_mask.astype(jnp.int32)) - 1   # [M]
-    rank = jnp.clip(rank, 0, n - 1)
+    rank = jnp.clip(rank, 0, k - 1)
     dest = jnp.where(append_mask, victim_order[rank], n)   # n -> dropped
 
     evicted = jnp.sum(jnp.where(append_mask,

@@ -60,10 +60,21 @@ class VideoSegEngine:
                                  method=model.memorize)
             return k4, v4
 
-        @jax.jit
-        def _step(state: FeatureBankState, frame_small, frame_full,
-                  frame_idx):
-            """One frame: segment + memorize + bank update + full-res mask."""
+        @partial(jax.jit, donate_argnums=0)
+        def _step(state: FeatureBankState, frame_u8, frame_idx):
+            """One frame: normalize + downsample + segment + memorize + bank
+            update + full-res upsample — one jitted graph.
+
+            ``frame_u8`` is the full-res uint8 frame: uploading uint8 and
+            normalising on device is 4x less H2D traffic (the dominant
+            per-frame cost through the host tunnel), and donating the bank
+            state lets XLA update the 0.5 GB bank buffers in place.
+            """
+            frame_full = frame_u8.astype(jnp.float32) / 255.0
+            small_hw = ops.short_side_size(*frame_u8.shape[:2],
+                                           self.downsample)
+            frame_small = ops.resize(frame_full, small_hw, "bicubic",
+                                     spatial_axes=(0, 1))
             score, _, cnt = model.apply(
                 variables, frame_small[None], state.keys, state.values,
                 state.valid, False, method=model.segment)
@@ -75,7 +86,7 @@ class VideoSegEngine:
             state = fb.update(state, k4, v4, frame_idx)
 
             # Full-resolution label map, device-side.
-            full_hw = frame_full.shape[:2]
+            full_hw = frame_u8.shape[:2]
             up = ops.resize(pred[0], full_hw, "bicubic", spatial_axes=(-2, -1))
             label_full = jnp.argmax(up, axis=0).astype(jnp.uint8)
             label_small = jnp.argmax(pred[0], axis=0).astype(jnp.uint8)
@@ -103,6 +114,9 @@ class VideoSegEngine:
         """Seed the bank from frame 0 (frame [H,W,3] float01, mask [H,W]
         uint8 labels)."""
         small_hw = ops.short_side_size(*first_frame.shape[:2], self.downsample)
+        first_frame = np.asarray(first_frame)
+        if first_frame.dtype == np.uint8:
+            first_frame = first_frame.astype(np.float32) / 255.0
         # device_put (async DMA) instead of jnp.asarray: asarray is a slow
         # synchronous copy through the host tunnel (~25x slower for 1080p).
         frame = jax.device_put(np.asarray(first_frame, np.float32))
@@ -114,23 +128,30 @@ class VideoSegEngine:
         k4, v4 = self._init_bank(frame_small, mask_small)
         return self.fb.init_bank(k4, v4)
 
-    def step(self, state: FeatureBankState, frame: np.ndarray,
+    def upload(self, frame: np.ndarray) -> jnp.ndarray:
+        """Async H2D of a frame as uint8 (call from a prefetch thread to
+        overlap the transfer with device compute)."""
+        frame = np.asarray(frame)
+        if frame.dtype != np.uint8:
+            frame = (frame * 255.0 + 0.5).astype(np.uint8)
+        return jax.device_put(frame)
+
+    def step(self, state: FeatureBankState, frame,
              frame_idx: int) -> Tuple[FeatureBankState, jnp.ndarray]:
-        """Process one frame (full-res float01 [H,W,3]). Returns (state,
-        full-res uint8 label map on device)."""
-        frame = jax.device_put(np.asarray(frame, np.float32))
-        small_hw = ops.short_side_size(*frame.shape[:2], self.downsample)
-        frame_small = ops.resize(frame, small_hw, "bicubic",
-                                 spatial_axes=(0, 1))
+        """Process one frame (uint8/float01 numpy, or an already-uploaded
+        device array from :meth:`upload`). Returns (state, full-res uint8
+        label map on device)."""
+        if not isinstance(frame, jax.Array):
+            frame = self.upload(frame)
         state, label_full, label_small = self._step(
-            state, frame_small, frame, jnp.float32(frame_idx))
+            state, frame, jnp.float32(frame_idx))
         if self.postprocess:
             label_full = self._clean(label_full, label_small)
         return state, label_full
 
 
 def _decode(path: str) -> np.ndarray:
-    return np.asarray(load_image(path), np.float32) / 255.0
+    return np.asarray(load_image(path), np.uint8)
 
 
 def run_video_segmentation(test_path: str, test_name: str,
@@ -190,25 +211,51 @@ def run_video_segmentation(test_path: str, test_name: str,
         save_overlay(first_frame, first_mask,
                      os.path.join(overlay_dir, first_name + ".png"))
 
+    # Fully-overlapped streaming loop: decode+upload prefetch threads feed
+    # the device; the device runs frame t while the label of frame t-1 is
+    # read back asynchronously and written by the writer pool. The serial
+    # critical path per frame is just the jitted step dispatch.
     fps = FrameSecondMeter()
-    pool = ThreadPoolExecutor(max_workers=2)
-    futures = [pool.submit(_decode, p) for p in img_list[1:3]]
+    decode_pool = ThreadPoolExecutor(max_workers=2)
+    writer_pool = ThreadPoolExecutor(max_workers=2)
 
-    for idx, path in enumerate(img_list[1:]):
-        frame = futures[idx].result()
-        if idx + 3 <= len(img_list) - 1:
-            futures.append(pool.submit(_decode, img_list[idx + 3]))
-        state, label = engine.step(state, frame, idx + 1)
-        pred = np.asarray(jax.device_get(label))
-        fps.add_frame_n(1)
+    def _load(path):
+        frame = _decode(path)
+        return frame, engine.upload(frame)
 
-        name = os.path.splitext(os.path.basename(path))[0]
+    rest = img_list[1:]
+    futures = {i: decode_pool.submit(_load, p) for i, p in enumerate(rest[:3])}
+
+    def _write(name, pred, frame):
         save_seg_mask(pred, os.path.join(mask_dir, name + ".png"))
         if viz:
-            save_overlay(frame, pred, os.path.join(overlay_dir, name + ".png"))
+            save_overlay(frame, pred,
+                         os.path.join(overlay_dir, name + ".png"))
 
+    pending = None   # (name, label_device, frame_host)
+    writes = []
+    for idx, path in enumerate(rest):
+        frame_host, frame_dev = futures.pop(idx).result()
+        if idx + 3 < len(rest):
+            futures[idx + 3] = decode_pool.submit(_load, rest[idx + 3])
+        state, label = engine.step(state, frame_dev, idx + 1)
+        label.copy_to_host_async()
+        if pending is not None:
+            pname, plabel, pframe = pending
+            writes.append(writer_pool.submit(
+                _write, pname, np.asarray(jax.device_get(plabel)), pframe))
+        name = os.path.splitext(os.path.basename(path))[0]
+        pending = (name, label, frame_host)
+        fps.add_frame_n(1)
+
+    if pending is not None:
+        pname, plabel, pframe = pending
+        _write(pname, np.asarray(jax.device_get(plabel)), pframe)
+    for wfut in writes:
+        wfut.result()
     fps.end()
-    pool.shutdown()
+    decode_pool.shutdown()
+    writer_pool.shutdown()
     report = fb.report(state)
     print(gct(), report)
     print(gct(), f"throughput: {fps.fps:.3f} frames/s")

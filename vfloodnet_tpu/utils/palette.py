@@ -20,8 +20,15 @@ COLOR_PALETTE = [0, 0, 0, 0, 0, 128, 0, 128, 0, 128, 0, 0] + [100, 100, 100] * 2
 
 def save_seg_mask(pred: np.ndarray, seg_path: str,
                   palette: Sequence[int] = COLOR_PALETTE) -> None:
-    """Write an indexed-PNG mask (uint8 labels) with the standard palette."""
-    img = Image.fromarray(np.asarray(pred, dtype=np.uint8), mode="P")
+    """Write an indexed-PNG mask (uint8 labels) with the standard palette.
+
+    Uses the native libpng writer (vfloodnet_tpu.native) when available —
+    ~10x faster than PIL for 1080p masks — with a PIL fallback."""
+    pred = np.asarray(pred, dtype=np.uint8)
+    from .. import native
+    if native.write_palette_png(seg_path, pred, palette):
+        return
+    img = Image.fromarray(pred, mode="P")
     img.putpalette(list(palette))
     img.save(seg_path)
 
@@ -33,7 +40,13 @@ def load_image(path: str, mode: str = "RGB") -> Image.Image:
 
 
 def load_mask(path: str) -> np.ndarray:
-    """Load an indexed-PNG mask as uint8 labels."""
+    """Load an indexed-PNG mask as uint8 labels (native fast path when the
+    file is already an indexed/gray PNG; PIL otherwise)."""
+    if path.endswith(".png"):
+        from .. import native
+        out = native.read_palette_png(path)
+        if out is not None:
+            return out
     return np.asarray(load_image(path, "P"), dtype=np.uint8)
 
 
@@ -68,11 +81,14 @@ def add_overlay(img_bgr: np.ndarray, mask: np.ndarray,
     return out
 
 
-def save_overlay(img_rgb01: np.ndarray, mask: np.ndarray, overlay_path: str,
+def save_overlay(img_rgb: np.ndarray, mask: np.ndarray, overlay_path: str,
                  colors: Sequence[int] = COLOR_PALETTE,
                  alpha: float = 0.4, cscale: float = 1.0) -> None:
-    """img_rgb01: float HWC RGB in [0,1] (device output layout)."""
-    img = (np.asarray(img_rgb01) * 255).astype(np.uint8)[..., ::-1]  # -> BGR
+    """img_rgb: HWC RGB, either float01 or uint8."""
+    img_rgb = np.asarray(img_rgb)
+    if img_rgb.dtype != np.uint8:
+        img_rgb = (img_rgb * 255).astype(np.uint8)
+    img = img_rgb[..., ::-1]  # -> BGR
     overlay = add_overlay(np.ascontiguousarray(img), np.asarray(mask), colors,
                           alpha, cscale)
     Image.fromarray(overlay[..., ::-1]).save(overlay_path)
