@@ -34,8 +34,10 @@ def get_args():
                         help="Merge if similarity is higher, else append.")
     parser.add_argument("--downsample", type=int, default=480,
                         help="Short-side operating resolution.")
-    parser.add_argument("--no-postprocess", action="store_true",
-                        help="Skip largest-CC mask cleanup.")
+    parser.add_argument("--postprocess", type=str, default="host",
+                        choices=["host", "device", "none"],
+                        help="Largest-CC cleanup: host (overlapped, default),"
+                             " device (mask stays device-resident), none.")
     parser.add_argument("--test-path", type=str, required=True,
                         help="Video frames directory")
     parser.add_argument("--test-name", type=str, required=True,
@@ -54,6 +56,6 @@ if __name__ == "__main__":
         model=model, variables=variables,
         budget=args.budget, update_rate=args.update_rate,
         merge_thres=args.merge_thres, downsample=args.downsample,
-        viz=args.viz, postprocess=not args.no_postprocess,
+        viz=args.viz, postprocess=args.postprocess,
         image_model_path=args.image_model_path)
     print(gct(), "Test video segmentation done.")

@@ -1,0 +1,56 @@
+"""Multi-stream batch video engine: B streams match B single-stream runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfloodnet_tpu.memory import FeatureBank
+from vfloodnet_tpu.models import AFBURR
+from vfloodnet_tpu.pipelines.video_seg import VideoSegEngine
+from vfloodnet_tpu.pipelines.video_seg_batch import BatchVideoSegEngine
+
+
+def test_batch_engine_matches_single_stream():
+    model = AFBURR(read_chunk=128)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((48, 64, 3)),
+                           jnp.zeros((2, 48, 64)), method=model.init_all)
+    fb = FeatureBank(obj_n=2, memory_budget=1024)
+
+    rng = np.random.RandomState(0)
+    vids = [
+        [rng.rand(48, 64, 3).astype(np.float32) for _ in range(3)]
+        for _ in range(2)]
+    masks0 = []
+    for v in range(2):
+        m = np.zeros((48, 64), np.uint8)
+        m[20 + 4 * v:, :] = 1
+        masks0.append(m)
+
+    # single-stream references
+    singles = []
+    for v in range(2):
+        eng = VideoSegEngine(model, variables, fb, downsample=48,
+                             postprocess="none")
+        st = eng.bootstrap(vids[v][0], masks0[v])
+        labels = []
+        for i, frame in enumerate(vids[v][1:]):
+            st, lab = eng.step(st, frame, i + 1)
+            labels.append(eng.fetch_label(lab))
+        singles.append(labels)
+
+    # batched
+    beng = BatchVideoSegEngine(model, variables, fb, batch=2, downsample=48)
+    st = beng.bootstrap([v[0] for v in vids], masks0)
+    assert int(st.valid[0].sum()) == int(st.valid[1].sum())
+    batch_labels = []
+    for i in range(2):
+        frames = np.stack([vids[0][i + 1], vids[1][i + 1]])
+        st, labs = beng.step(st, frames, i + 1)
+        batch_labels.append(np.asarray(labs))
+
+    for v in range(2):
+        for i in range(2):
+            a = singles[v][i]
+            b = batch_labels[i][v]
+            agreement = (a == b).mean()
+            assert agreement > 0.995, (v, i, agreement)

@@ -54,7 +54,7 @@ def test_video_seg_engine_smoke(tmp_path):
     for i in range(3):
         frame = rng.rand(48, 64, 3).astype(np.float32)
         state, label = engine.step(state, frame, i + 1)
-    label_np = np.asarray(label)
+    label_np = engine.fetch_label(label)
     assert label_np.shape == (48, 64)
     assert label_np.dtype == np.uint8
     assert set(np.unique(label_np)) <= {0, 1}

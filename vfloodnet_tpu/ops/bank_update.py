@@ -39,38 +39,47 @@ def _safe_normalize(x: jnp.ndarray, axis: int = -1) -> Tuple[jnp.ndarray, jnp.nd
     return x / jnp.maximum(mag, 1e-12), mag
 
 
-def _best_match(normed_bank: jnp.ndarray, valid: jnp.ndarray,
-                normed_new: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _best_match(bank_keys: jnp.ndarray, bank_mag: jnp.ndarray,
+                valid: jnp.ndarray, normed_new: jnp.ndarray,
+                chunk: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Running argmax of cosine correlation, chunked over the bank axis.
 
-    normed_bank [N, d], valid [N], normed_new [M, d] -> (best_corr [M],
+    Bank keys are passed *unnormalised* with their per-slot magnitudes
+    (``bank_mag`` [N]) so the full normalised bank never materialises:
+    cosine = (new_normed . key) / |key|.
+
+    bank_keys [N, d], valid [N], normed_new [M, d] -> (best_corr [M],
     best_idx [M]).
     """
-    n, d = normed_bank.shape
+    n, d = bank_keys.shape
     m = normed_new.shape[0]
+    inv_mag = jnp.where(valid, 1.0 / jnp.maximum(bank_mag, 1e-12), 0.0)
+    mm_dtype = bank_keys.dtype
+    new_mm = normed_new.astype(mm_dtype)
+
     if n * m <= 256 * 1024 * 1024:
         # dense one-shot: one big MXU matmul beats a serialised chunk scan
-        corr = jax.lax.dot(normed_new.astype(normed_bank.dtype),
-                           normed_bank.T,
+        corr = jax.lax.dot(new_mm, bank_keys.T,
                            preferred_element_type=jnp.float32)   # [M, N]
+        corr = corr * inv_mag[None, :]
         corr = jnp.where(valid[None, :], corr, -2.0)
         best_idx = jnp.argmax(corr, axis=1).astype(jnp.int32)
         best_corr = jnp.take_along_axis(corr, best_idx[:, None], axis=1)[:, 0]
         return best_corr, best_idx
+
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
-    bank_c = jnp.pad(normed_bank, ((0, pad), (0, 0))).reshape(n_chunks, chunk, d)
+    bank_c = jnp.pad(bank_keys, ((0, pad), (0, 0))).reshape(n_chunks, chunk, d)
     valid_c = jnp.pad(valid, (0, pad)).reshape(n_chunks, chunk)
-
-    mm_dtype = normed_bank.dtype
-    new_mm = normed_new.astype(mm_dtype)
+    inv_c = jnp.pad(inv_mag, (0, pad)).reshape(n_chunks, chunk)
 
     def step(carry, inp):
         best_corr, best_idx = carry
-        (k_c, ok), ci = inp
+        (k_c, ok, im), ci = inp
         corr = jax.lax.dot(new_mm, k_c.T,
                            preferred_element_type=jnp.float32)  # [M, chunk]
+        corr = corr * im[None, :]
         corr = jnp.where(ok[None, :], corr, -2.0)
         local_best = jnp.argmax(corr, axis=1)
         local_val = jnp.take_along_axis(corr, local_best[:, None], axis=1)[:, 0]
@@ -81,21 +90,55 @@ def _best_match(normed_bank: jnp.ndarray, valid: jnp.ndarray,
 
     init = (jnp.full((m,), -2.0, jnp.float32), jnp.zeros((m,), jnp.int32))
     (best_corr, best_idx), _ = jax.lax.scan(
-        step, init, ((bank_c, valid_c), jnp.arange(n_chunks, dtype=jnp.int32)))
+        step, init, ((bank_c, valid_c, inv_c),
+                     jnp.arange(n_chunks, dtype=jnp.int32)))
     return best_corr, best_idx
 
 
-def _segment_mean(data: jnp.ndarray, idx: jnp.ndarray, mask: jnp.ndarray,
-                  num_segments: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Masked segment mean: mean of data rows grouped by idx (mask selects
-    contributing rows). Returns (mean [num_segments, d], hit_count [num_segments])."""
-    d = data.shape[1]
-    safe_idx = jnp.where(mask, idx, num_segments)
-    total = jnp.zeros((num_segments + 1, d), jnp.float32).at[safe_idx].add(
-        data.astype(jnp.float32))
-    cnt = jnp.zeros((num_segments + 1,), jnp.float32).at[safe_idx].add(1.0)
-    mean = total[:num_segments] / jnp.maximum(cnt[:num_segments, None], 1.0)
-    return mean, cnt[:num_segments]
+def _sorted_group_means(datas, idx: jnp.ndarray, mask: jnp.ndarray):
+    """Group-means over the M *incoming* features only (no bank-sized
+    temporaries): sort rows by target slot, segmented suffix-sum within
+    equal-slot runs, keep each run's total at its first row.
+
+    datas: tuple of [M, d_i] arrays sharing idx/mask. Returns
+    (means: tuple of [M, d_i], row_ok [M] bool, row_slot [M] — slot id at
+    run-first rows, 2**30 elsewhere).
+    """
+    m = idx.shape[0]
+    big = jnp.where(mask, idx, jnp.int32(2**30))
+    order = jnp.argsort(big)
+    s_idx = big[order]
+
+    same_as_prev = jnp.concatenate(
+        [jnp.zeros((1,), bool), s_idx[1:] == s_idx[:-1]])
+
+    # Standard forward segmented prefix-sum over the REVERSED rows: a run's
+    # first row (original order) is its last row reversed, so the prefix
+    # there covers the whole run.
+    s_idx_r = s_idx[::-1]
+    head_r = jnp.concatenate(
+        [jnp.ones((1,), bool), s_idx_r[1:] != s_idx_r[:-1]])
+
+    def seg_combine(a, b):
+        av, ac, ah = a
+        bv, bc, bh = b
+        v = jnp.where(bh[:, None], bv, av + bv)
+        c = jnp.where(bh, bc, ac + bc)
+        return v, c, jnp.logical_or(ah, bh)
+
+    means = []
+    counts = None
+    for data in datas:
+        s_data_r = data.astype(jnp.float32)[order][::-1]
+        totals_r, counts_r, _ = jax.lax.associative_scan(
+            seg_combine, (s_data_r, jnp.ones((m,), jnp.float32), head_r))
+        totals = totals_r[::-1]
+        counts = counts_r[::-1]
+        means.append(totals / jnp.maximum(counts[:, None], 1.0))
+    run_first = jnp.logical_not(same_as_prev)
+    valid_row = jnp.logical_and(run_first, s_idx < 2**30)
+    row_slot = jnp.where(valid_row, s_idx, jnp.int32(2**30))
+    return tuple(means), valid_row, row_slot
 
 
 def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray,
@@ -117,23 +160,30 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
     dv = values.shape[1]
     m = new_keys.shape[0]
 
-    normed_bank_k, mag_k = _safe_normalize(keys)
-    normed_bank_v, mag_v = _safe_normalize(values)
     normed_new_k, _ = _safe_normalize(new_keys)
     normed_new_v, _ = _safe_normalize(new_values)
+    bank_mag_k = jnp.linalg.norm(keys.astype(jnp.float32), axis=1)
 
-    best_corr, best_idx = _best_match(normed_bank_k, valid, normed_new_k, chunk)
+    best_corr, best_idx = _best_match(keys, bank_mag_k, valid, normed_new_k,
+                                      chunk)
     merge_mask = best_corr > thres_close
 
-    # ---- Merge: masked segment-mean EMA into matched slots ----------------
-    k_mean, hits = _segment_mean(normed_new_k, best_idx, merge_mask, n)
-    v_mean, _ = _segment_mean(normed_new_v, best_idx, merge_mask, n)
-    hit_mask = (hits > 0)[:, None]
+    # ---- Merge (O(M) work): group incoming features by matched slot,
+    # gather only the touched bank rows, EMA them, scatter back. -----------
+    (k_mean, v_mean), row_ok, row_slot = _sorted_group_means(
+        (normed_new_k, normed_new_v), best_idx, merge_mask)
+    slot_g = jnp.clip(row_slot, 0, n - 1)
+    old_k = keys[slot_g].astype(jnp.float32)              # [M, dk]
+    old_v = values[slot_g].astype(jnp.float32)            # [M, dv]
+    nk_old, mag_ko = _safe_normalize(old_k)
+    nv_old, mag_vo = _safe_normalize(old_v)
     r = update_rate
-    merged_k = mag_k * ((1.0 - r) * normed_bank_k + r * k_mean)
-    merged_v = mag_v * ((1.0 - r) * normed_bank_v + r * v_mean)
-    keys = jnp.where(hit_mask, merged_k.astype(keys.dtype), keys)
-    values = jnp.where(hit_mask, merged_v.astype(values.dtype), values)
+    merged_k = mag_ko * ((1.0 - r) * nk_old + r * k_mean)
+    merged_v = mag_vo * ((1.0 - r) * nv_old + r * v_mean)
+    scat = jnp.where(row_ok, row_slot, n)                 # n -> dropped
+    keys = keys.at[scat].set(merged_k.astype(keys.dtype), mode="drop")
+    values = values.at[scat].set(merged_v.astype(values.dtype), mode="drop")
+    protected = jnp.zeros((n,), bool).at[scat].set(True, mode="drop")
 
     # ---- Append + LFU evict: one priority argsort + scatter ---------------
     append_mask = jnp.logical_not(merge_mask)
@@ -143,7 +193,6 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
     # slots; slots merged this frame are protected. At most M slots can be
     # overwritten per step, so a top-k (k = M) over negated priority replaces
     # a full argsort of the 100k-slot bank.
-    protected = hits > 0
     prio = jnp.where(valid, lfu, -2.0)
     prio = jnp.where(protected, jnp.float32(1e30), prio)
     k = min(m, n)

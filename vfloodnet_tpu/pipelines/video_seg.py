@@ -43,16 +43,42 @@ def to_onehot(mask: np.ndarray, obj_n: int) -> np.ndarray:
     return oh
 
 
+def host_largest_cc(label: np.ndarray) -> np.ndarray:
+    """Host-side largest-CC cleanup (scipy), for use inside the overlapped
+    writer pool — behaviourally identical to the device op but off the
+    device critical path."""
+    from scipy import ndimage
+    lab, n = ndimage.label(label, structure=np.ones((3, 3), int))
+    if n <= 1:
+        return (lab > 0).astype(np.uint8)
+    sizes = np.bincount(lab.ravel())
+    sizes[0] = 0
+    return (lab == sizes.argmax()).astype(np.uint8)
+
+
 class VideoSegEngine:
-    """Jitted propagation engine for one video resolution."""
+    """Jitted propagation engine for one video resolution.
+
+    ``postprocess``: largest-CC mask cleanup mode —
+      - 'host' (default): applied on host inside the writer pool
+        (overlapped, zero device cost),
+      - 'device' / True: jitted device op chained after the step (keeps the
+        cleaned mask device-resident for device-side consumers),
+      - 'none' / False: disabled.
+    """
 
     def __init__(self, model: AFBURR, variables, fb: FeatureBank,
-                 downsample: int = 480, postprocess: bool = True):
+                 downsample: int = 480, postprocess="host"):
         self.model = model
         self.variables = variables
         self.fb = fb
         self.downsample = downsample
+        if postprocess is True:
+            postprocess = "device"
+        if postprocess is False:
+            postprocess = "none"
         self.postprocess = postprocess
+        self.full_hw = None
 
         @jax.jit
         def _init_bank(frame_small, mask_small):
@@ -92,6 +118,22 @@ class VideoSegEngine:
             label_small = jnp.argmax(pred[0], axis=0).astype(jnp.uint8)
             return state, label_full, label_small
 
+        pack = fb.obj_n == 2
+
+        def _maybe_pack(label):
+            """Binary masks transfer bit-packed (8x less D2H through the
+            host tunnel); multi-object labels transfer raw."""
+            if not pack:
+                return label
+            h, w = label.shape
+            wpad = -(-w // 8) * 8
+            lab = jnp.pad(label, ((0, 0), (0, wpad - w)))
+            bits = lab.reshape(h, wpad // 8, 8)
+            weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+            return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+
+        self._maybe_pack = jax.jit(_maybe_pack) if pack else (lambda x: x)
+
         @jax.jit
         def _clean(label_full, label_small):
             """Largest-CC cleanup. The component filter runs at the small
@@ -115,6 +157,7 @@ class VideoSegEngine:
         uint8 labels)."""
         small_hw = ops.short_side_size(*first_frame.shape[:2], self.downsample)
         first_frame = np.asarray(first_frame)
+        self.full_hw = first_frame.shape[:2]
         if first_frame.dtype == np.uint8:
             first_frame = first_frame.astype(np.float32) / 255.0
         # device_put (async DMA) instead of jnp.asarray: asarray is a slow
@@ -145,9 +188,17 @@ class VideoSegEngine:
             frame = self.upload(frame)
         state, label_full, label_small = self._step(
             state, frame, jnp.float32(frame_idx))
-        if self.postprocess:
+        if self.postprocess == "device":
             label_full = self._clean(label_full, label_small)
-        return state, label_full
+        return state, self._maybe_pack(label_full)
+
+    def fetch_label(self, label) -> np.ndarray:
+        """Device label handle (possibly bit-packed) -> host uint8 [H, W]."""
+        arr = np.asarray(jax.device_get(label))
+        if self.fb.obj_n == 2 and self.full_hw is not None:
+            h, w = self.full_hw
+            arr = np.unpackbits(arr, axis=1)[:, :w]
+        return arr
 
 
 def _decode(path: str) -> np.ndarray:
@@ -163,7 +214,7 @@ def run_video_segmentation(test_path: str, test_name: str,
                            merge_thres: float = 0.95,
                            downsample: int = 480,
                            viz: bool = True,
-                           postprocess: bool = True,
+                           postprocess="host",
                            image_model_path: Optional[str] = None,
                            first_mask_path: Optional[str] = None) -> dict:
     """End-to-end video segmentation over a frame directory.
@@ -226,7 +277,10 @@ def run_video_segmentation(test_path: str, test_name: str,
     rest = img_list[1:]
     futures = {i: decode_pool.submit(_load, p) for i, p in enumerate(rest[:3])}
 
-    def _write(name, pred, frame):
+    def _write(name, label, frame):
+        pred = engine.fetch_label(label)            # D2H inside the pool
+        if engine.postprocess == "host":
+            pred = host_largest_cc(pred)
         save_seg_mask(pred, os.path.join(mask_dir, name + ".png"))
         if viz:
             save_overlay(frame, pred,
@@ -242,15 +296,14 @@ def run_video_segmentation(test_path: str, test_name: str,
         label.copy_to_host_async()
         if pending is not None:
             pname, plabel, pframe = pending
-            writes.append(writer_pool.submit(
-                _write, pname, np.asarray(jax.device_get(plabel)), pframe))
+            writes.append(writer_pool.submit(_write, pname, plabel, pframe))
         name = os.path.splitext(os.path.basename(path))[0]
         pending = (name, label, frame_host)
         fps.add_frame_n(1)
 
     if pending is not None:
         pname, plabel, pframe = pending
-        _write(pname, np.asarray(jax.device_get(plabel)), pframe)
+        _write(pname, plabel, pframe)
     for wfut in writes:
         wfut.result()
     fps.end()

@@ -1,0 +1,125 @@
+"""Multi-stream video propagation: B independent videos per device step.
+
+The reference processes one video at a time on one GPU (test_video_seg.py).
+Video propagation is sequential in t (frame t needs the bank from t-1), so
+the TPU-native way to raise utilisation is batching *across videos*
+(SURVEY.md §7.3): B same-resolution streams run as one vmapped jitted step —
+encoders, attention reads and bank updates all batch on the MXU; each stream
+keeps its own fixed-capacity bank.
+
+Streams can be heterogeneous in length: a finished stream keeps a live slot
+(masked no-op is avoided by the host simply not consuming its outputs) until
+the group is refilled; for simplicity the driver groups equal-resolution
+videos and pads the last group.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from ..memory import FeatureBank, FeatureBankState
+from ..models import AFBURR
+from .video_seg import to_onehot
+
+
+class BatchVideoSegEngine:
+    """Jitted B-stream propagation engine (fixed B, resolution, obj_n)."""
+
+    def __init__(self, model: AFBURR, variables, fb: FeatureBank,
+                 batch: int, downsample: int = 480):
+        self.model = model
+        self.variables = variables
+        self.fb = fb
+        self.batch = batch
+        self.downsample = downsample
+        self.full_hw: Optional[Tuple[int, int]] = None
+
+        @jax.jit
+        def _init_banks(frames_small, masks_small):
+            def one(frame, mask):
+                return model.apply(variables, frame, mask,
+                                   method=model.memorize)
+            return jax.vmap(one)(frames_small, masks_small)
+
+        @partial(jax.jit, donate_argnums=0)
+        def _step(state: FeatureBankState, frames_u8, frame_idx):
+            """frames_u8 [B, H, W, 3] uint8; state arrays carry a leading
+            [B] stream axis."""
+            frames = frames_u8.astype(jnp.float32) / 255.0
+            small_hw = ops.short_side_size(*frames_u8.shape[1:3],
+                                           self.downsample)
+            frames_small = ops.resize(frames, small_hw, "bicubic",
+                                      spatial_axes=(1, 2))
+
+            def seg_one(frame, keys, values, valid):
+                score, _, cnt = model.apply(variables, frame[None], keys,
+                                            values, valid, False,
+                                            method=model.segment)
+                return score[0], cnt
+
+            scores, cnts = jax.vmap(seg_one)(frames_small, state.keys,
+                                             state.values, state.valid)
+            preds = jax.nn.softmax(scores, axis=1)     # [B, obj, h, w]
+
+            def mem_one(frame, pred):
+                return model.apply(variables, frame, pred,
+                                   method=model.memorize)
+
+            k4, v4 = jax.vmap(mem_one)(frames_small, preds)
+
+            usage = state.usage + jnp.log1p(cnts)
+            usage = jnp.where(state.valid, jnp.clip(usage, 0.0, 1e5), 0.0)
+            state = state.replace(usage=usage)
+
+            def upd_one(st, nk, nv):
+                return self.fb.update(st, nk, nv, frame_idx)
+
+            state = jax.vmap(upd_one)(state, k4, v4)
+
+            full_hw = frames_u8.shape[1:3]
+            up = ops.resize(preds, full_hw, "bicubic", spatial_axes=(-2, -1))
+            labels = jnp.argmax(up, axis=1).astype(jnp.uint8)   # [B, H, W]
+            return state, labels
+
+        self._init_banks = _init_banks
+        self._step = _step
+
+    def bootstrap(self, first_frames: Sequence[np.ndarray],
+                  first_masks: Sequence[np.ndarray]) -> FeatureBankState:
+        """first_frames: B HWC images (uint8 or float01); first_masks: B
+        label maps."""
+        assert len(first_frames) == self.batch
+        frames = np.stack([np.asarray(f, np.float32) / 255.0
+                           if np.asarray(f).dtype == np.uint8
+                           else np.asarray(f, np.float32)
+                           for f in first_frames])
+        self.full_hw = frames.shape[1:3]
+        small_hw = ops.short_side_size(*frames.shape[1:3], self.downsample)
+        frames_small = ops.resize(jax.device_put(frames), small_hw,
+                                  "bicubic", spatial_axes=(1, 2))
+        masks = np.stack([to_onehot(np.asarray(m), self.fb.obj_n)
+                          for m in first_masks])
+        masks_small = ops.resize(jax.device_put(masks), small_hw, "nearest",
+                                 spatial_axes=(-2, -1))
+        k4, v4 = self._init_banks(frames_small, masks_small)
+
+        def init_one(k, v):
+            return self.fb.init_bank(k, v)
+
+        return jax.vmap(init_one)(k4, v4)
+
+    def step(self, state: FeatureBankState, frames, frame_idx: int
+             ) -> Tuple[FeatureBankState, jnp.ndarray]:
+        """frames: [B, H, W, 3] uint8 numpy or device array."""
+        if not isinstance(frames, jax.Array):
+            frames = np.asarray(frames)
+            if frames.dtype != np.uint8:
+                frames = (frames * 255.0 + 0.5).astype(np.uint8)
+            frames = jax.device_put(frames)
+        return self._step(state, frames, jnp.float32(frame_idx))
