@@ -22,11 +22,24 @@ def main():
     p.add_argument("--out-dir", type=str, default="./output/segs")
     p.add_argument("--model-path", type=str, default="records/video_seg_tpu")
     p.add_argument("--budget", type=int, default=250000)
+    p.add_argument("--streams", type=int, default=1,
+                   help="Propagate this many same-resolution videos "
+                        "simultaneously (one vmapped device step).")
     args = p.parse_args()
 
     model, variables = load_afb_urr(args.model_path)
     names = sorted(d for d in os.listdir(args.benchmark_root)
                    if os.path.isdir(os.path.join(args.benchmark_root, d)))
+    if args.streams > 1:
+        from vfloodnet_tpu.pipelines.video_seg_batch import \
+            run_video_segmentation_batch
+        for start in range(0, len(names), args.streams):
+            group = names[start:start + args.streams]
+            print(gct(), f"=== streams: {group} ===")
+            run_video_segmentation_batch(
+                [os.path.join(args.benchmark_root, n) for n in group],
+                group, args.out_dir, model, variables, budget=args.budget)
+        return
     for name in names:
         print(gct(), f"=== {name} ===")
         run_video_segmentation(os.path.join(args.benchmark_root, name), name,

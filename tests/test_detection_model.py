@@ -72,6 +72,22 @@ def test_generalized_rcnn_forward():
     assert bool(jnp.isfinite(out["boxes"]).all())
 
 
+def test_detector_wrapper_with_pointrend():
+    import numpy as np
+    from vfloodnet_tpu.models.detection.meta import build_detector
+    cfg = RCNNConfig(num_classes=3, with_masks=True, with_pointrend=True,
+                     post_nms_topk=20, max_detections=4,
+                     test_short_side=64, test_max_side=96)
+    model = GeneralizedRCNN(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)))
+    det = build_detector(cfg, v)
+    img = (np.random.RandomState(0).rand(80, 100, 3) * 255).astype(np.uint8)
+    inst = det(img)
+    assert inst.boxes.shape[1] == 4
+    if len(inst) > 0:
+        assert inst.masks.shape[1:] == (80, 100)
+
+
 def test_keypoint_rcnn_forward():
     cfg = RCNNConfig(num_classes=1, with_keypoints=True, post_nms_topk=30,
                      max_detections=5)

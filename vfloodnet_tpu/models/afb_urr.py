@@ -22,14 +22,15 @@ from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops import (bank_attention_read, calc_uncertainty, local_avg_pool,
                    local_max_pool, pad_divide_by, unpad)
 from .resnet import ResNet50Backbone, FrozenBN
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)  # host constant: no device init at import
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 _he = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 

@@ -149,7 +149,30 @@ def build_detector(cfg: RCNNConfig, variables, refine_points: bool = True
     from ...pipelines.object_detection import Instances
 
     model = GeneralizedRCNN(cfg)
-    apply_fn = jax.jit(lambda img: model.apply(variables, img))
+
+    use_pointrend = cfg.with_pointrend and refine_points
+
+    def _apply(img):
+        out = model.apply(variables, img)
+        if use_pointrend and "mask_logits" in out:
+            # PointRend subdivision refinement per detection (28 -> 224),
+            # vmapped over the fixed detection count.
+            point_head = PointHead(cfg.num_classes, name="point_head")
+            ph_vars = {"params": variables["params"]["point_head"]} \
+                if "point_head" in variables.get("params", {}) else None
+            if ph_vars is not None:
+                p2 = out.pop("p2")
+
+                def refine_one(coarse, box):
+                    return pointrend_refine(point_head, ph_vars, coarse, p2,
+                                            box, num_subdivisions=3)
+
+                out["mask_logits"] = jax.vmap(refine_one)(
+                    out["mask_logits"], out["boxes"])
+        out.pop("p2", None)
+        return out
+
+    apply_fn = jax.jit(_apply)
 
     def detector(img_bgr: np.ndarray) -> Instances:
         padded, scale = preprocess_bgr(img_bgr, cfg.test_short_side,

@@ -16,13 +16,14 @@ from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .efficientnet import EfficientNetFeatures
 from .resnet import FrozenBN
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)  # host constant: no device init at import
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def _up2(x):

@@ -1,21 +1,28 @@
 """Still-image water segmentation pipeline (LinkNet + EfficientNet-B4).
 
 Capability parity with the reference test_image_seg.py:44-151: resize to
-416x416, ImageNet-normalise, forward, sigmoid-threshold, resize back,
-largest-connected-component cleanup, palette PNG + overlay — all device-side
-except the PNG encode.
+416x416 (PIL, matching ``tf.Resize`` on a PIL image), ImageNet-normalise,
+forward, resize the sigmoid map back to the original size, threshold,
+largest-connected-component cleanup, palette PNG + overlay.
+
+TPU-native: images batch to a fixed [B, 416, 416, 3] device input — one
+compiled graph regardless of source resolutions — and the per-image
+upsample/threshold/CC/PNG tail runs in host writer threads, overlapped with
+the next batch's device forward.
 """
 
 from __future__ import annotations
 
 import os
 import warnings
+from concurrent.futures import ThreadPoolExecutor
 from glob import glob
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from PIL import Image
 
 from .. import ops
 from ..utils import gct, load_image, save_overlay, save_seg_mask
@@ -24,8 +31,8 @@ MODEL_DIMS = (416, 416)  # reference test_image_seg.py:79
 
 
 def _build_pipeline(model, variables, postprocess: bool = True):
-    """One jitted function per input resolution: resize-in, forward,
-    resize-back, threshold, largest-CC — all device-side."""
+    """Single-image fully-device path (resize-in, forward, resize-back,
+    threshold, largest-CC) — used when masks must stay device-resident."""
     @jax.jit
     def run(img01: jnp.ndarray):
         x = ops.resize(img01[None], MODEL_DIMS, "bilinear", antialias=True)
@@ -46,10 +53,26 @@ def _build_pipeline(model, variables, postprocess: bool = True):
     return run
 
 
+def _host_tail(prob416: np.ndarray, orig_hw: Tuple[int, int],
+               postprocess: bool) -> np.ndarray:
+    """Reference post-processing tail on host: upsample prob to the original
+    size (bilinear), threshold at 0.5, largest-CC."""
+    import cv2
+    up = cv2.resize(prob416, (orig_hw[1], orig_hw[0]),
+                    interpolation=cv2.INTER_LINEAR)
+    label = (up > 0.5).astype(np.uint8)
+    if postprocess:
+        from .video_seg import host_largest_cc
+        label = host_largest_cc(label)
+    return label
+
+
 def run_image_segmentation(test_path: str, test_name: str,
                            out_path: str = "./output/segs",
                            model_path: Optional[str] = None,
-                           model=None, variables=None) -> list:
+                           model=None, variables=None,
+                           batch_size: int = 4,
+                           postprocess: bool = True) -> list:
     """Segment one image file or a directory of images.
 
     Returns list of (mask_path, overlay_path).
@@ -69,19 +92,43 @@ def run_image_segmentation(test_path: str, test_name: str,
         paths = sorted(glob(os.path.join(test_path, "*.jpg"))
                        + glob(os.path.join(test_path, "*.png")))
 
-    run = _build_pipeline(model, variables)
+    b = max(1, min(batch_size, len(paths)))
 
-    results = []
-    for path in paths:
-        img = np.asarray(load_image(path), np.float32) / 255.0
-        label = run(jax.device_put(img))
-        pred = np.asarray(jax.device_get(label))
+    @jax.jit
+    def forward(batch01):                              # [B, 416, 416, 3]
+        return model.apply(variables, batch01)[..., 0]  # [B, 416, 416]
 
+    writer = ThreadPoolExecutor(max_workers=2)
+    results: List[Tuple[str, str]] = []
+    futures = []
+
+    def _write(path, prob416, img_np):
+        label = _host_tail(prob416, img_np.shape[:2], postprocess)
         base = os.path.splitext(os.path.basename(path))[0]
         mask_path = os.path.join(mask_out, base + ".png")
         overlay_path = os.path.join(overlay_out, base + ".png")
-        save_seg_mask(pred, mask_path)
-        save_overlay(img, pred, overlay_path)
-        results.append((mask_path, overlay_path))
+        save_seg_mask(label, mask_path)
+        save_overlay(img_np, label, overlay_path)
+        return mask_path, overlay_path
+
+    for start in range(0, len(paths), b):
+        chunk = paths[start:start + b]
+        imgs, inputs = [], []
+        for path in chunk:
+            pil = load_image(path)
+            imgs.append(np.asarray(pil, np.uint8))
+            resized = pil.resize(MODEL_DIMS[::-1], Image.BILINEAR)
+            inputs.append(np.asarray(resized, np.float32) / 255.0)
+        while len(inputs) < b:                          # pad last batch
+            inputs.append(inputs[-1])
+        probs = forward(jax.device_put(np.stack(inputs)))
+        probs.copy_to_host_async()
+        probs_np = np.asarray(jax.device_get(probs))
+        for j, path in enumerate(chunk):
+            futures.append(writer.submit(_write, path, probs_np[j], imgs[j]))
+
+    for f in futures:
+        results.append(f.result())
+    writer.shutdown()
     print(gct(), f"Segmented {len(paths)} image(s) -> {mask_out}")
     return results

@@ -123,3 +123,102 @@ class BatchVideoSegEngine:
                 frames = (frames * 255.0 + 0.5).astype(np.uint8)
             frames = jax.device_put(frames)
         return self._step(state, frames, jnp.float32(frame_idx))
+
+
+def run_video_segmentation_batch(test_paths: Sequence[str],
+                                 test_names: Sequence[str],
+                                 out_dir: str, model, variables,
+                                 budget: int = 250_000,
+                                 downsample: int = 480,
+                                 viz: bool = True,
+                                 image_model_path: Optional[str] = None
+                                 ) -> dict:
+    """Propagate several same-resolution videos simultaneously.
+
+    Output tree per video matches the single-stream CLI
+    (``<out_dir>/<name>/{mask,overlay}``). Streams must share frame
+    resolution; shorter videos stop being written once exhausted.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    from glob import glob
+
+    from ..utils import FrameSecondMeter, gct, load_mask, save_overlay, \
+        save_seg_mask
+    from .video_seg import _decode, host_largest_cc
+
+    b = len(test_paths)
+    vids = []
+    for path in test_paths:
+        frames = sorted(glob(os.path.join(path, "*.jpg"))
+                        + glob(os.path.join(path, "*.png")))
+        if not frames:
+            raise FileNotFoundError(path)
+        vids.append(frames)
+
+    mask_dirs, overlay_dirs = [], []
+    first_frames, first_masks = [], []
+    for name, frames in zip(test_names, vids):
+        mask_dir = os.path.join(out_dir, name, "mask")
+        overlay_dir = os.path.join(out_dir, name, "overlay")
+        os.makedirs(mask_dir, exist_ok=True)
+        if viz:
+            os.makedirs(overlay_dir, exist_ok=True)
+        mask_dirs.append(mask_dir)
+        overlay_dirs.append(overlay_dir)
+        first_name = os.path.splitext(os.path.basename(frames[0]))[0]
+        first_mask_path = os.path.join(mask_dir, first_name + ".png")
+        if not os.path.exists(first_mask_path):
+            from .image_seg import run_image_segmentation
+            run_image_segmentation(frames[0], name, out_dir,
+                                   model_path=image_model_path)
+        first_frames.append(_decode(frames[0]))
+        first_masks.append(load_mask(first_mask_path))
+        save_seg_mask(first_masks[-1], first_mask_path)
+        if viz:
+            save_overlay(first_frames[-1], first_masks[-1],
+                         os.path.join(overlay_dir, first_name + ".png"))
+
+    obj_n = max(int(m.max()) + 1 for m in first_masks)
+    fb = FeatureBank(obj_n=obj_n, memory_budget=budget)
+    engine = BatchVideoSegEngine(model, variables, fb, batch=b,
+                                 downsample=downsample)
+    state = engine.bootstrap(first_frames, first_masks)
+
+    max_len = max(len(v) for v in vids)
+    writer = ThreadPoolExecutor(max_workers=2)
+    fps = FrameSecondMeter()
+    writes = []
+
+    def _write(vi, name, pred, frame):
+        pred = host_largest_cc(pred)
+        save_seg_mask(pred, os.path.join(mask_dirs[vi], name + ".png"))
+        if viz:
+            save_overlay(frame, pred,
+                         os.path.join(overlay_dirs[vi], name + ".png"))
+
+    for t in range(1, max_len):
+        batch_frames = []
+        batch_names = []
+        for vi, frames in enumerate(vids):
+            idx = min(t, len(frames) - 1)       # pad exhausted streams
+            batch_frames.append(_decode(frames[idx]))
+            batch_names.append(
+                os.path.splitext(os.path.basename(frames[idx]))[0]
+                if t < len(frames) else None)
+        state, labels = engine.step(state, np.stack(batch_frames), t)
+        labels.copy_to_host_async()
+        labels_np = np.asarray(jax.device_get(labels))
+        for vi, name in enumerate(batch_names):
+            if name is not None:
+                writes.append(writer.submit(_write, vi, name,
+                                            labels_np[vi], batch_frames[vi]))
+        fps.add_frame_n(sum(1 for n in batch_names if n is not None))
+
+    for w in writes:
+        w.result()
+    fps.end()
+    writer.shutdown()
+    print(gct(), f"batch throughput: {fps.fps:.3f} frames/s "
+          f"({b} streams)")
+    return {"fps": fps.fps, "frames": fps.frame_n}
