@@ -50,11 +50,18 @@ if __name__ == "__main__":
 
     dataset = WaterImageDataset("train_offline", args.dataset,
                                 input_size=cfg.input_size, seed=cfg.seed)
+    val_dataset = None
+    if os.path.exists(os.path.join(args.dataset, "val_imgs.txt")):
+        val_dataset = WaterImageDataset("train_offline", args.dataset,
+                                        input_size=cfg.input_size,
+                                        dataset_file="val_imgs.txt",
+                                        seed=cfg.seed)
     model = LinkNet()
     variables = model.init(jax.random.PRNGKey(cfg.seed),
                            jnp.zeros((1, cfg.input_size, cfg.input_size, 3)))
 
     mesh = make_mesh() if args.data_parallel else None
     best = run_image_training(model, variables, cfg, dataset, log_dir,
+                              val_dataset=val_dataset,
                               resume=args.resume, mesh=mesh)
     print(gct(), f"Training done. Best checkpoint: {best}")

@@ -66,15 +66,21 @@ class LinkNet(nn.Module):
         f2, f4, f8, f16, f32 = EfficientNetFeatures(
             dtype=self.dtype, name="encoder")(x.astype(self.dtype))
 
+        def add_skip(d, skip):
+            # stride-2 convs ceil; crop the upsample back to the skip's
+            # spatial dims so non-/32-divisible inputs work
+            return d[:, :skip.shape[1], :skip.shape[2], :] + skip
+
         d = DecoderBlock(f16.shape[-1], dtype=self.dtype, name="dec4")(f32)
-        d = d + f16
+        d = add_skip(d, f16)
         d = DecoderBlock(f8.shape[-1], dtype=self.dtype, name="dec3")(d)
-        d = d + f8
+        d = add_skip(d, f8)
         d = DecoderBlock(f4.shape[-1], dtype=self.dtype, name="dec2")(d)
-        d = d + f4
+        d = add_skip(d, f4)
         d = DecoderBlock(f2.shape[-1], dtype=self.dtype, name="dec1")(d)
-        d = d + f2
+        d = add_skip(d, f2)
         d = DecoderBlock(16, dtype=self.dtype, name="dec0")(d)
+        d = d[:, :img01.shape[1], :img01.shape[2], :]
 
         h = nn.Conv(16, (3, 3), padding=1, dtype=self.dtype, name="head1")(d)
         h = nn.relu(h)

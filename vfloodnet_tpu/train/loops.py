@@ -64,9 +64,13 @@ def run_video_training(model, variables, cfg, dataset, log_dir: str,
 
 
 def run_image_training(model, variables, cfg, dataset, log_dir: str,
-                       resume: Optional[str] = None, mesh=None,
-                       log_every: int = 10) -> str:
-    from .train_image import init_image_train_state, make_image_train_step
+                       val_dataset=None, resume: Optional[str] = None,
+                       mesh=None, log_every: int = 10) -> str:
+    """Image trainer loop. With ``val_dataset``, a validation epoch runs
+    after each training epoch and 'best' tracks validation IoU (reference
+    train_image_seg.py's train/valid epoch runners)."""
+    from .train_image import (init_image_train_state, iou_metric,
+                              make_image_train_step)
 
     os.makedirs(log_dir, exist_ok=True)
     loader = BatchLoader(dataset, cfg.batch_size, shuffle=True, seed=cfg.seed)
@@ -78,6 +82,14 @@ def run_image_training(model, variables, cfg, dataset, log_dir: str,
         start_epoch = int(state.step) // steps_per_epoch
         print(gct(), f"Resumed from {resume} at epoch {start_epoch}")
     step_fn = make_image_train_step(model, tx, mesh=mesh)
+
+    val_loader = None
+    eval_fn = None
+    if val_dataset is not None:
+        val_loader = BatchLoader(val_dataset, cfg.batch_size, shuffle=False,
+                                 seed=cfg.seed, drop_last=False)
+        eval_fn = jax.jit(lambda params, stats, images: model.apply(
+            {"params": params, "batch_stats": stats}, images)[..., 0])
 
     history = []
     best_iou = -1.0
@@ -92,11 +104,24 @@ def run_image_training(model, variables, cfg, dataset, log_dir: str,
             if bi % log_every == 0:
                 print(gct(), f"epoch {epoch} step {bi}/{steps_per_epoch} "
                       f"dice {loss_m.avg:.4f} iou {iou_m.avg:.4f}")
+
+        select_iou = iou_m.avg
+        if val_loader is not None:
+            val_m = AvgMeter()
+            for images, masks in val_loader.epoch(0):
+                if images.shape[0] != cfg.batch_size:
+                    continue
+                prob = eval_fn(state.params, state.batch_stats,
+                               jnp.asarray(images))
+                val_m.update(float(iou_metric(prob, jnp.asarray(masks))))
+            select_iou = val_m.avg
+            print(gct(), f"epoch {epoch}: val iou {val_m.avg:.4f}")
+
         history.append((loss_m.avg, iou_m.avg))
         print(gct(), f"epoch {epoch}: dice {loss_m.avg:.4f} iou {iou_m.avg:.4f}")
         save_checkpoint(os.path.join(log_dir, "final"), state)
-        if iou_m.avg > best_iou:
-            best_iou = iou_m.avg
+        if select_iou > best_iou:
+            best_iou = select_iou
             save_checkpoint(best_path, state)
     _plot_curves(history, log_dir)
     return best_path
