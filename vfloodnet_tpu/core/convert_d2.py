@@ -28,13 +28,6 @@ import numpy as np
 from .convert import torch_conv_to_flax, _set
 
 
-def _conv_bn(prefix_t: str, prefix_f: str, sd, params, stats,
-             conv_name_f="", bn_name_f=""):
-    w = sd[f"{prefix_t}.weight"]
-    _set(params, f"{prefix_f}/kernel", torch_conv_to_flax(np.asarray(w)))
-    bn_f = bn_name_f or prefix_f.rsplit("/", 1)[0]
-
-
 def convert_d2_state_dict(sd: Mapping[str, np.ndarray],
                           with_masks: bool = False,
                           with_pointrend: bool = False,

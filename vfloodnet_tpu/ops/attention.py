@@ -19,7 +19,6 @@ A Pallas kernel (``impl='pallas'``) fuses both sweeps with double-buffered HBM
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Tuple
 

@@ -21,7 +21,6 @@ All shapes static -> zero recompiles over a whole video.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Tuple
 
 import jax

@@ -14,7 +14,6 @@ subsequent bank update also runs shard-local.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Tuple
 

@@ -9,7 +9,7 @@ mean/std absolute error in cm and %, plus a comparison plot.
 from __future__ import annotations
 
 import os
-from datetime import datetime
+
 from typing import Optional, Tuple
 
 import numpy as np

@@ -14,7 +14,6 @@ the next batch's device forward.
 from __future__ import annotations
 
 import os
-import warnings
 from concurrent.futures import ThreadPoolExecutor
 from glob import glob
 from typing import List, Optional, Tuple
