@@ -30,11 +30,14 @@ def get_args():
                         help="Test name")
     parser.add_argument("--out-path", default=DEFAULT_OUT, type=str,
                         metavar="PATH", help="Output folder")
+    parser.add_argument("--batch-size", type=int, default=4,
+                        help="Images per device batch")
     return parser.parse_args()
 
 
 if __name__ == "__main__":
     args = get_args()
     run_image_segmentation(args.test_path, args.test_name, args.out_path,
-                           model_path=args.model_path)
+                           model_path=args.model_path,
+                           batch_size=args.batch_size)
     print(gct(), "Test image segmentation done.")
