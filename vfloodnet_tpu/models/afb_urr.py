@@ -212,28 +212,24 @@ class AFBURR(nn.Module):
         k4, v4 = self.keyval_r4(r4)
         return k4, v4
 
-    def segment(self, frames: jnp.ndarray, bank_keys: jnp.ndarray,
-                bank_values: jnp.ndarray, bank_valid: jnp.ndarray,
-                training: bool = False):
-        bs = frames.shape[0]
-        obj_n = bank_keys.shape[0]
+    def encode_query(self, frames: jnp.ndarray):
+        """Query-side encode: frames [B,H,W,3] -> (k4 [B,P,dk], v4 [B,P,dv],
+        skips (r3, r2, r1), h16w16, pad). First half of :meth:`segment`,
+        exposed so a distributed engine can run the memory read externally
+        (e.g. bank-sharded over a mesh)."""
         frames, pad = pad_divide_by(frames, 16)
         r4, r3, r2, r1 = self.encoder_q(frames)
         _, h16, w16, _ = r4.shape
-        k4, v4 = self.keyval_r4(r4)                      # [B, P, dk/dv]
+        k4, v4 = self.keyval_r4(r4)
+        return k4, v4, (r3, r2, r1), (h16, w16), pad
 
-        def read_one(keys, values, valid, q):
-            return bank_attention_read(keys, values, valid,
-                                       q.astype(jnp.float32),
-                                       thres=self.thres_valid,
-                                       chunk=self.read_chunk)
-
-        # vmap over objects, then over batch queries.
-        read_obj = jax.vmap(read_one, in_axes=(0, 0, 0, None))     # over obj
-        read = jax.vmap(read_obj, in_axes=(None, None, None, 0))   # over batch
-        mem, cnt = read(bank_keys, bank_values, bank_valid, k4)
-        # mem [B, obj, P, dv]; cnt [B, obj, N] -> sum batch contributions.
-        usage_cnt = jnp.sum(cnt, axis=0)
+    def decode_with_memory(self, mem: jnp.ndarray, v4: jnp.ndarray,
+                           skips, hw16, pad, training: bool = False):
+        """Second half of :meth:`segment`: mem [B, obj, P, dv] from the
+        bank read -> (score logits, uncertainty loss)."""
+        r3, r2, r1 = skips
+        h16, w16 = hw16
+        bs, obj_n = mem.shape[:2]
 
         q_val = jnp.broadcast_to(v4[:, None], (bs, obj_n) + v4.shape[1:])
         feat = jnp.concatenate([mem.astype(self.dtype), q_val], axis=-1)
@@ -258,4 +254,26 @@ class AFBURR(nn.Module):
         score = jnp.clip(score, 1e-7, 1 - 1e-7)
         score = jnp.log(score / (1 - score))             # logits
         score = unpad(score, pad, spatial_axes=(-2, -1))
+        return score, uncertainty_loss
+
+    def segment(self, frames: jnp.ndarray, bank_keys: jnp.ndarray,
+                bank_values: jnp.ndarray, bank_valid: jnp.ndarray,
+                training: bool = False):
+        k4, v4, skips, hw16, pad = self.encode_query(frames)
+
+        def read_one(keys, values, valid, q):
+            return bank_attention_read(keys, values, valid,
+                                       q.astype(jnp.float32),
+                                       thres=self.thres_valid,
+                                       chunk=self.read_chunk)
+
+        # vmap over objects, then over batch queries.
+        read_obj = jax.vmap(read_one, in_axes=(0, 0, 0, None))     # over obj
+        read = jax.vmap(read_obj, in_axes=(None, None, None, 0))   # over batch
+        mem, cnt = read(bank_keys, bank_values, bank_valid, k4)
+        # mem [B, obj, P, dv]; cnt [B, obj, N] -> sum batch contributions.
+        usage_cnt = jnp.sum(cnt, axis=0)
+
+        score, uncertainty_loss = self.decode_with_memory(
+            mem, v4, skips, hw16, pad, training)
         return score, uncertainty_loss, usage_cnt
