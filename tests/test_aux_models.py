@@ -39,3 +39,22 @@ def test_project_orthographic():
     cam = jnp.asarray([2.0, 0.1, -0.1])
     pts = np.asarray(project_orthographic(verts, cam))
     np.testing.assert_allclose(pts, [[1.1, -1.1], [0.1, -0.1]], atol=1e-6)
+
+
+def test_hrnet_backbone():
+    from vfloodnet_tpu.models.hrnet import HRNet
+    m = HRNet(width=16)   # slim width for the test; w64 same graph
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    agg, high = m.apply(v, x)
+    assert agg.shape == (1, 2, 2, 2048)    # /32 aggregated grid
+    assert high.shape == (1, 16, 16, 16)   # /4 highest-res branch
+    assert bool(jnp.isfinite(agg).all())
+
+
+def test_body_mesh_hrnet_variant():
+    model = BodyMeshRegressor(stage_dims=(64,), backbone="hrnet64")
+    crop = jnp.zeros((224, 224, 3))
+    v = model.init(jax.random.PRNGKey(0), crop)
+    verts, joints, cam = model.apply(v, crop)
+    assert verts.shape == (NUM_VERTICES, 3)

@@ -67,19 +67,29 @@ class EncoderStage(nn.Module):
 
 class BodyMeshRegressor(nn.Module):
     """224x224 person crop -> (verts_3d [V, 3], joints_3d [J, 3],
-    camera [3])."""
+    camera [3]).
+
+    ``backbone``: 'resnet50' (default, lighter) or 'hrnet64' (the
+    reference METRO's HRNet-w64 grid-feature extractor)."""
     stage_dims: Tuple[int, ...] = (1024, 256, 128)
+    backbone: str = "resnet50"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, crop01: jnp.ndarray):
         """crop01 [224, 224, 3] RGB in [0, 1]."""
-        mean = jnp.array([0.485, 0.456, 0.406])
-        std = jnp.array([0.229, 0.224, 0.225])
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
         x = ((crop01 - mean) / std)[None]
-        r4, _, _, _ = ResNet50Backbone(dtype=self.dtype, name="backbone")(
-            x.astype(self.dtype))                         # [1, 14, 14, 1024]
-        grid = jnp.mean(r4[0], axis=(0, 1))               # [1024] global feat
+        if self.backbone == "hrnet64":
+            from .hrnet import HRNet
+            feat, _ = HRNet(width=64, dtype=self.dtype, name="backbone")(
+                x.astype(self.dtype))                     # [1, 7, 7, 2048]
+        else:
+            feat, _, _, _ = ResNet50Backbone(dtype=self.dtype,
+                                             name="backbone")(
+                x.astype(self.dtype))                     # [1, 14, 14, 1024]
+        grid = jnp.mean(feat[0], axis=(0, 1))             # global feat
 
         n_tok = NUM_JOINTS + NUM_VERTICES
         queries = self.param("token_embed", nn.initializers.normal(0.02),
