@@ -56,6 +56,29 @@ class MaskHead(nn.Module):
                        name="predictor")(h)     # [R, 28, 28, K]
 
 
+class CoarseMaskHead(nn.Module):
+    """PointRend coarse mask head (D2 projects/PointRend ConvFC head):
+    1x1 channel-reduce conv, flatten, 2 FCs, FC -> K x 7 x 7 logits."""
+    num_classes: int = 80
+    conv_dim: int = 256
+    fc_dim: int = 1024
+    output_side: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled):                 # [R, 14, 14, C]
+        r = pooled.shape[0]
+        h = nn.relu(nn.Conv(self.conv_dim, (1, 1), dtype=self.dtype,
+                            name="reduce")(pooled))
+        h = h.reshape(r, -1)
+        h = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc1")(h))
+        h = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc2")(h))
+        s = self.output_side
+        out = nn.Dense(self.num_classes * s * s, dtype=self.dtype,
+                       name="prediction")(h)
+        return out.reshape(r, s, s, self.num_classes)
+
+
 class PointHead(nn.Module):
     """PointRend point head: MLP over (fine-grained feature, coarse mask
     logit) per sampled point (projects/PointRend semantics)."""

@@ -21,8 +21,8 @@ import numpy as np
 from ...ops.roi_align import multilevel_roi_align, roi_align
 from .backbone import DetectionResNet
 from .fpn import FPN
-from .heads import (BoxHead, KeypointHead, MaskHead, PointHead, box_inference,
-                    pointrend_refine)
+from .heads import (BoxHead, CoarseMaskHead, KeypointHead, MaskHead,
+                    PointHead, box_inference, pointrend_refine)
 from .rpn import RPN
 
 # Detectron2 caffe-style preprocessing (BGR, mean-subtract, no std scaling)
@@ -60,7 +60,13 @@ class GeneralizedRCNN(nn.Module):
         self.rpn = RPN(post_nms_topk=self.cfg.post_nms_topk, dtype=self.dtype)
         self.box_head = BoxHead(self.cfg.num_classes, dtype=self.dtype)
         if self.cfg.with_masks:
-            self.mask_head = MaskHead(self.cfg.num_classes, dtype=self.dtype)
+            if self.cfg.with_pointrend:
+                # D2 PointRend pairs a coarse 7x7 FC head with the point head
+                self.mask_head = CoarseMaskHead(self.cfg.num_classes,
+                                                dtype=self.dtype)
+            else:
+                self.mask_head = MaskHead(self.cfg.num_classes,
+                                          dtype=self.dtype)
         if self.cfg.with_pointrend:
             self.point_head = PointHead(self.cfg.num_classes, dtype=self.dtype)
         if self.cfg.with_keypoints:
