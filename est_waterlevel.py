@@ -28,6 +28,11 @@ def get_args():
     p.add_argument("--record-dir", type=str, default="./records/groundtruth",
                    help="Stored calibration records (homo_mat.txt, "
                         "ref_bbox.txt)")
+    p.add_argument("--streaming", action="store_true",
+                   help="ref mode: fused seg+waterline on device (no "
+                        "inter-stage PNGs); runs segmentation itself")
+    p.add_argument("--model-path", type=str, default="records/video_seg_tpu",
+                   help="Video model for --streaming")
     return p.parse_args()
 
 
@@ -50,6 +55,15 @@ def main():
         out = est_by_obj_detection(img_list, water_mask_list, out_dir,
                                    args.opt)
         print(gct(), f"Depth estimates written to {out}")
+    elif args.streaming:
+        from vfloodnet_tpu.pipelines.loaders import load_afb_urr
+        from vfloodnet_tpu.pipelines.streaming_waterlevel import \
+            run_streaming_waterlevel
+        model, variables = load_afb_urr(args.model_path)
+        out = run_streaming_waterlevel(args.test_path, args.test_name,
+                                       out_dir, args.record_dir, model,
+                                       variables)
+        print(gct(), f"Water levels written to {out}")
     else:
         from vfloodnet_tpu.pipelines.reference_tracking import \
             est_by_reference
