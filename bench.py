@@ -123,4 +123,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from vfloodnet_tpu.core.runtime import ensure_backend
+    ensure_backend()
     main()

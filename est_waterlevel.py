@@ -73,5 +73,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from vfloodnet_tpu.core.runtime import ensure_backend
+    ensure_backend()
     main()
     print(gct(), "Water level estimation done.")

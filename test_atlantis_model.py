@@ -97,4 +97,6 @@ def main(args):
 
 
 if __name__ == "__main__":
+    from vfloodnet_tpu.core.runtime import ensure_backend
+    ensure_backend()
     main(get_arguments())

@@ -36,6 +36,8 @@ def get_args():
 
 
 if __name__ == "__main__":
+    from vfloodnet_tpu.core.runtime import ensure_backend
+    ensure_backend()
     args = get_args()
     run_image_segmentation(args.test_path, args.test_name, args.out_path,
                            model_path=args.model_path,

@@ -46,6 +46,8 @@ def get_args():
 
 
 if __name__ == "__main__":
+    from vfloodnet_tpu.core.runtime import ensure_backend
+    ensure_backend()
     args = get_args()
     print(gct(), "Args =", args)
     assert os.path.isdir(args.test_path)
