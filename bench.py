@@ -37,8 +37,6 @@ def main():
     from vfloodnet_tpu.models import AFBURR
     from vfloodnet_tpu.pipelines.video_seg import VideoSegEngine
 
-    # bf16 production config: convs and bank matmuls run at full MXU rate
-    # with f32 accumulation (softmax/normalisation stay f32).
     import tempfile
     from concurrent.futures import ThreadPoolExecutor
 
@@ -119,6 +117,7 @@ def main():
         "p50_latency_ms": round(p50_ms, 1),
         "bank_budget": 250_000,
         "operating_short_side": 480,
+        "platform": jax.devices()[0].platform,
     }))
 
 
