@@ -18,6 +18,7 @@ import numpy as np
 from ..core.checkpoint import restore_checkpoint, save_checkpoint
 from ..data import BatchLoader
 from ..utils import AvgMeter, gct, save_scripts
+from ..utils.logging import MetricWriter
 
 
 def run_video_training(model, variables, cfg, dataset, log_dir: str,
@@ -42,6 +43,7 @@ def run_video_training(model, variables, cfg, dataset, log_dir: str,
         state = shard_train_state(state, mesh)
     step_fn = make_video_train_step(model, tx, cfg, mesh=mesh)
 
+    metrics = MetricWriter(log_dir)
     best_loss = float("inf")
     best_path = os.path.join(log_dir, "best")
     for epoch in range(start_epoch, cfg.epochs):
@@ -54,12 +56,17 @@ def run_video_training(model, variables, cfg, dataset, log_dir: str,
             if bi % log_every == 0:
                 print(gct(), f"epoch {epoch} step {bi}/{steps_per_epoch} "
                       f"loss {meter.avg:.4f}")
+                metrics.write("train", step=int(state.step), loss=meter.avg,
+                              epoch=epoch)
         dt = time.time() - t0
         print(gct(), f"epoch {epoch} done: loss {meter.avg:.4f} ({dt:.1f}s)")
+        metrics.write("epoch", step=int(state.step), loss=meter.avg,
+                      epoch=epoch, seconds=dt)
         save_checkpoint(os.path.join(log_dir, "final"), state)
         if meter.avg < best_loss:
             best_loss = meter.avg
             save_checkpoint(best_path, state)
+    metrics.close()
     return best_path
 
 
@@ -91,6 +98,7 @@ def run_image_training(model, variables, cfg, dataset, log_dir: str,
         eval_fn = jax.jit(lambda params, stats, images: model.apply(
             {"params": params, "batch_stats": stats}, images)[..., 0])
 
+    metrics = MetricWriter(log_dir)
     history = []
     best_iou = -1.0
     best_path = os.path.join(log_dir, "best")
@@ -119,10 +127,13 @@ def run_image_training(model, variables, cfg, dataset, log_dir: str,
 
         history.append((loss_m.avg, iou_m.avg))
         print(gct(), f"epoch {epoch}: dice {loss_m.avg:.4f} iou {iou_m.avg:.4f}")
+        metrics.write("epoch", step=int(state.step), epoch=epoch,
+                      dice=loss_m.avg, iou=iou_m.avg, select_iou=select_iou)
         save_checkpoint(os.path.join(log_dir, "final"), state)
         if select_iou > best_iou:
             best_iou = select_iou
             save_checkpoint(best_path, state)
+    metrics.close()
     _plot_curves(history, log_dir)
     return best_path
 
