@@ -170,6 +170,33 @@ def waterdepth_by_stopsign(img: np.ndarray, instances: Instances,
                  tuple(proj_bottom.astype(int)), submerged_color, thickness)
         os.makedirs(result_dir, exist_ok=True)
         cv2.imwrite(os.path.join(result_dir, f"{img_name}_pred.png"), viz)
+
+        # template + estimate canvases (reference :91-102, :166-184)
+        water_color = (200, 0, 0)
+        tmpl = np.full((300, 400, 3), 255, np.uint8)
+        ipts = plate.astype(int)
+        for j in range(8):
+            cv2.line(tmpl, tuple(ipts[j]), tuple(ipts[(j + 1) % 8]),
+                     template_color, thickness)
+        t_top, t_bot = pole_top.astype(int), pole_bottom.astype(int)
+        cv2.line(tmpl, tuple(t_top), tuple(t_bot), template_color, thickness)
+        water_y = int(pole_top[1] + (1.0 - ratio)
+                      * (pole_bottom[1] - pole_top[1]))
+        cv2.line(tmpl, (t_top[0], water_y), tuple(t_bot), submerged_color,
+                 thickness)
+        cv2.line(tmpl, (100, water_y), (300, water_y), water_color, thickness)
+        cv2.imwrite(os.path.join(result_dir, f"{img_name}_template.png"), tmpl)
+
+        est = np.full_like(img, 255)
+        for j in range(8):
+            cv2.line(est, tuple(proj_plate[j]),
+                     tuple(proj_plate[(j + 1) % 8]), template_color,
+                     thickness)
+        cv2.line(est, tuple(proj_top.astype(int)),
+                 tuple(proj_bottom.astype(int)), template_color, thickness)
+        cv2.line(est, tuple(hit.astype(int)),
+                 tuple(proj_bottom.astype(int)), submerged_color, thickness)
+        cv2.imwrite(os.path.join(result_dir, f"{img_name}_est.png"), est)
         return ratio, depth_cm
 
     return -1.0, -1.0
