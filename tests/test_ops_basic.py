@@ -110,3 +110,17 @@ def test_local_pools_match_reference_semantics():
     # Corner avg divides by full window area (count_include_pad).
     corner = xn[:2, :2, 0].sum() / 9.0
     np.testing.assert_allclose(np.asarray(avg)[0, 0, 0, 0], corner, rtol=1e-5)
+
+
+def test_resize_close_to_pil_bilinear():
+    # the image pipeline's 416 input resize must track PIL semantics
+    from PIL import Image
+    rng = np.random.RandomState(7)
+    img = (rng.rand(97, 135, 3) * 255).astype(np.uint8)
+    pil = np.asarray(Image.fromarray(img).resize((64, 48), Image.BILINEAR),
+                     np.float32) / 255.0
+    dev = np.asarray(ops.resize(jnp.asarray(img, jnp.float32) / 255.0,
+                                (48, 64), "bilinear", spatial_axes=(0, 1),
+                                antialias=True))
+    assert np.abs(dev - pil).mean() < 0.01
+    assert np.abs(dev - pil).max() < 0.12
