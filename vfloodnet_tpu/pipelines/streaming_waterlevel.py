@@ -101,11 +101,33 @@ def run_streaming_waterlevel(test_path: str, test_name: str,
         raise FileNotFoundError(test_path)
     os.makedirs(out_dir, exist_ok=True)
 
+    # optional homography rectification (reference boston site): applied in
+    # the decode prefetch threads, overlapped with device compute
+    homo_mat = None
+    if prof.enable_calib:
+        homo_path = os.path.join(record_dir, test_name, "homo_mat.txt")
+        if os.path.exists(homo_path):
+            homo_mat = np.loadtxt(homo_path).reshape(3, 3)
+
+    def decode(path):
+        frame = _decode(path)
+        if homo_mat is not None:
+            import cv2
+            frame = cv2.warpPerspective(frame, homo_mat,
+                                        (frame.shape[1], frame.shape[0]))
+        return frame
+
     bbox_path = os.path.join(record_dir, test_name, "ref_bbox.txt")
     arr = np.loadtxt(bbox_path).astype(int)
     if arr.ndim == 1:
         arr = arr[None]
     ref_bboxes = [tuple(b) for b in arr[:prof.tracker_num]]
+
+    trackers = None
+    if prof.enable_tracker:
+        from .reference_tracking import _make_trackers
+        first = decode(img_list[0])
+        trackers = _make_trackers(first[..., ::-1].copy(), ref_bboxes)
 
     # first-frame bootstrap mask (image model or stored)
     seg_dir = os.path.join(out_dir, "segs", test_name, "mask")
@@ -116,7 +138,7 @@ def run_streaming_waterlevel(test_path: str, test_name: str,
         run_image_segmentation(img_list[0], test_name,
                                os.path.join(out_dir, "segs"),
                                model_path=image_model_path)
-    first_frame = _decode(img_list[0])
+    first_frame = decode(img_list[0])
     first_mask = load_mask(first_mask_path)
 
     fb = FeatureBank(obj_n=int(first_mask.max()) + 1, memory_budget=budget)
@@ -130,12 +152,19 @@ def run_streaming_waterlevel(test_path: str, test_name: str,
     fps = FrameSecondMeter()
     pool = ThreadPoolExecutor(max_workers=2)
     rest = img_list[1:]
-    futures = {i: pool.submit(_decode, p) for i, p in enumerate(rest[:3])}
+    futures = {i: pool.submit(decode, p) for i, p in enumerate(rest[:3])}
     prev = [0.0] * prof.tracker_num
     for idx, path in enumerate(rest):
         frame = futures.pop(idx).result()
         if idx + 3 < len(rest):
-            futures[idx + 3] = pool.submit(_decode, rest[idx + 3])
+            futures[idx + 3] = pool.submit(decode, rest[idx + 3])
+        if trackers is not None:
+            import cv2
+            bgr = frame[..., ::-1].copy()
+            for t, tr in enumerate(trackers):
+                ok, box = tr.update(bgr)
+                if ok:
+                    stream.ref_bboxes[t] = tuple(int(v) for v in box)
         state, lv, _ = stream.step(state, frame, idx + 1)
         lv = [p if np.isnan(v) else v for v, p in zip(lv, prev)]
         prev = lv
