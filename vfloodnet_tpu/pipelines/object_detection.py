@@ -252,11 +252,13 @@ def predict_boundary(under_y: np.ndarray, above_y: np.ndarray
 
 
 def waterdepth_by_people(crop_mask: np.ndarray, pred_2d: np.ndarray,
-                         template_2d: np.ndarray, resolution: int = 224
-                         ) -> Optional[float]:
+                         template_2d: np.ndarray, resolution: int = 224,
+                         result_dir: Optional[str] = None,
+                         img_name: str = "") -> Optional[float]:
     """Submerge ratio from projected mesh vertices vs. the canonical
     standing template (reference :337-387). pred_2d / template_2d are [V, 2]
-    in [-1, 1]."""
+    in [-1, 1]. With ``result_dir``, writes the reference's
+    ``*_est.png`` / ``*_template.png`` vertex canvases (:353-386)."""
     pred = np.clip(((pred_2d + 1) * resolution / 2).astype(int), 0,
                    resolution - 1)
     template = np.clip(((template_2d + 1) * resolution / 2).astype(int), 0,
@@ -267,6 +269,24 @@ def waterdepth_by_people(crop_mask: np.ndarray, pred_2d: np.ndarray,
     labels = crop_mask[pred[:, 1], pred[:, 0]]
     under = labels == WATER_LABEL_ID
     boundary = predict_boundary(template[under, 1], template[~under, 1])
+
+    if result_dir:
+        import cv2
+        os.makedirs(result_dir, exist_ok=True)
+        est = np.full((resolution, resolution, 3), 255, np.uint8)
+        tmpl = np.full((resolution, resolution, 3), 255, np.uint8)
+        for j in range(pred.shape[0]):
+            color = [0, 0, 200] if under[j] else [0, 200, 0]
+            cv2.circle(est, tuple(pred[j]), 0, color, 2)
+            cv2.circle(tmpl, (template[j][0], template[j][1]), 0,
+                       [0, 0, 200] if under[j] else [0, 200, 0], 2)
+        if boundary is not None:
+            cv2.line(tmpl, (resolution // 4, int(boundary)),
+                     (3 * resolution // 4, int(boundary)), (200, 0, 0), 2)
+        cv2.imwrite(os.path.join(result_dir, f"{img_name}_est.png"), est)
+        cv2.imwrite(os.path.join(result_dir, f"{img_name}_template.png"),
+                    tmpl)
+
     if boundary is None:
         return None
     return 1.0 - (boundary - t_top) / t_height
@@ -323,7 +343,9 @@ def est_by_obj_detection(img_list: Sequence[str],
                     continue
                 crop, mask_crop = crop_person(img, water_mask, inst.boxes[pi])
                 pred_2d = mesh_regressor(crop)
-                ratio = waterdepth_by_people(mask_crop, pred_2d, template_2d)
+                ratio = waterdepth_by_people(mask_crop, pred_2d, template_2d,
+                                             result_dir=result_dir,
+                                             img_name=name)
                 if ratio is not None:
                     depth = ratio * PEOPLE_META["man_height_cm"]
                     rows.append((name, ratio, depth))
