@@ -18,6 +18,8 @@ from vfloodnet_tpu.utils import gct
 def get_args():
     parser = argparse.ArgumentParser(
         description="V-FloodNet-TPU: Water Video Segmentation")
+    parser.add_argument("--gpu", type=int, default=0,
+                        help="Ignored (TPU build); kept for reference CLI compatibility.")
     parser.add_argument("--budget", type=int, default=250000,
                         help="Max number of features in the feature bank.")
     parser.add_argument("--viz", action="store_true", default=True,

@@ -22,6 +22,8 @@ from vfloodnet_tpu.utils import gct
 
 def get_args():
     p = argparse.ArgumentParser(description="V-FloodNet-TPU image-seg trainer")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="Ignored (TPU build); kept for reference CLI compatibility.")
     p.add_argument("--dataset", type=str, required=True)
     p.add_argument("--encoder", type=str, default="efficientnet-b4",
                    help="Encoder name (efficientnet-b4 supported)")

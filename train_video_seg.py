@@ -23,6 +23,8 @@ from vfloodnet_tpu.utils import gct
 
 def get_args():
     p = argparse.ArgumentParser(description="V-FloodNet-TPU video-seg trainer")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="Ignored (TPU build); kept for reference CLI compatibility.")
     p.add_argument("--dataset", type=str, required=True,
                    help="Dataset root (train_imgs.txt + JPEGImages/Annotations)")
     p.add_argument("--log", type=str, default=None, help="Log dir")
