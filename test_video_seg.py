@@ -40,6 +40,9 @@ def get_args():
                         choices=["host", "device", "none"],
                         help="Largest-CC cleanup: host (overlapped, default),"
                              " device (mask stays device-resident), none.")
+    parser.add_argument("--checkpoint-every", type=int, default=0,
+                        help="Checkpoint the bank every K frames "
+                             "(long-video fault tolerance; 0 = off)")
     parser.add_argument("--test-path", type=str, required=True,
                         help="Video frames directory")
     parser.add_argument("--test-name", type=str, required=True,
@@ -61,5 +64,6 @@ if __name__ == "__main__":
         budget=args.budget, update_rate=args.update_rate,
         merge_thres=args.merge_thres, downsample=args.downsample,
         viz=args.viz, postprocess=args.postprocess,
-        image_model_path=args.image_model_path)
+        image_model_path=args.image_model_path,
+        checkpoint_every=args.checkpoint_every)
     print(gct(), "Test video segmentation done.")

@@ -96,3 +96,31 @@ def test_linknet_forward_shapes():
     assert out.shape == (1, 64, 64, 1)
     o = np.asarray(out)
     assert (o >= 0).all() and (o <= 1).all()
+
+
+def test_video_segmentation_resume_from_bank_checkpoint(tmp_path):
+    frame_dir = _write_clip(tmp_path, n=5)
+    model = AFBURR(read_chunk=256)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((48, 64, 3)),
+                           jnp.zeros((2, 48, 64)), method=model.init_all)
+    out_dir = str(tmp_path / "output")
+    mask_dir = os.path.join(out_dir, "clip", "mask")
+    os.makedirs(mask_dir)
+    mask0 = np.zeros((48, 64), np.uint8)
+    mask0[24:, :] = 1
+    save_seg_mask(mask0, os.path.join(mask_dir, "00000.png"))
+
+    kwargs = dict(model=model, variables=variables, budget=2048,
+                  downsample=48, viz=False, postprocess="none",
+                  checkpoint_every=3)
+    run_video_segmentation(frame_dir, "clip", out_dir, **kwargs)
+    assert os.path.isdir(os.path.join(out_dir, "clip", "bank_ckpt"))
+    masks_first = {f: os.path.getmtime(os.path.join(mask_dir, f))
+                   for f in os.listdir(mask_dir)}
+    assert len(masks_first) == 5
+
+    # second run resumes from the checkpoint (frames before the resume point
+    # are skipped) and completes the tail again
+    res = run_video_segmentation(frame_dir, "clip", out_dir, **kwargs)
+    assert res["frames"] == 1   # only the post-checkpoint tail reruns
+    assert len(os.listdir(mask_dir)) == 5

@@ -216,12 +216,17 @@ def run_video_segmentation(test_path: str, test_name: str,
                            viz: bool = True,
                            postprocess="host",
                            image_model_path: Optional[str] = None,
-                           first_mask_path: Optional[str] = None) -> dict:
+                           first_mask_path: Optional[str] = None,
+                           checkpoint_every: int = 0) -> dict:
     """End-to-end video segmentation over a frame directory.
 
     Mirrors the reference entry point behaviour (test_video_seg.py:41-123):
     output tree ``<out_dir>/<test_name>/{mask,overlay}``, first-frame mask
     auto-generated by the image model if missing.
+
+    ``checkpoint_every`` > 0 enables long-video fault tolerance (new vs the
+    reference, SURVEY.md §5): the bank state is checkpointed every K frames
+    and an interrupted run resumes from the last checkpoint.
     """
     img_list = sorted(glob(os.path.join(test_path, "*.jpg"))
                       + glob(os.path.join(test_path, "*.png")))
@@ -255,6 +260,20 @@ def run_video_segmentation(test_path: str, test_name: str,
     engine = VideoSegEngine(model, variables, fb, downsample=downsample,
                             postprocess=postprocess)
     state = engine.bootstrap(first_frame, first_mask)
+
+    # Long-video fault tolerance: resume the bank from the last checkpoint.
+    ckpt_dir = os.path.join(out_dir, test_name, "bank_ckpt")
+    start_idx = 0
+    if checkpoint_every > 0 and os.path.isdir(ckpt_dir):
+        from ..core.checkpoint import restore_checkpoint
+        try:
+            blob = restore_checkpoint(ckpt_dir,
+                                      target={"state": state, "idx": 0})
+            state = blob["state"]
+            start_idx = int(blob["idx"])
+            print(gct(), f"resumed bank checkpoint at frame {start_idx}")
+        except Exception as e:
+            print(gct(), f"bank checkpoint unusable ({e}); starting fresh")
 
     # Save frame-0 outputs (identity mask, reference :91-97).
     save_seg_mask(first_mask, os.path.join(mask_dir, first_name + ".png"))
@@ -292,7 +311,12 @@ def run_video_segmentation(test_path: str, test_name: str,
         frame_host, frame_dev = futures.pop(idx).result()
         if idx + 3 < len(rest):
             futures[idx + 3] = decode_pool.submit(_load, rest[idx + 3])
+        if idx < start_idx:   # already processed before the resume point
+            continue
         state, label = engine.step(state, frame_dev, idx + 1)
+        if checkpoint_every > 0 and (idx + 1) % checkpoint_every == 0:
+            from ..core.checkpoint import save_checkpoint
+            save_checkpoint(ckpt_dir, {"state": state, "idx": idx + 1})
         label.copy_to_host_async()
         if pending is not None:
             pname, plabel, pframe = pending
