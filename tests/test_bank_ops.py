@@ -131,3 +131,20 @@ def test_bank_update_jits_without_recompile():
                                                  usage, nk, nv,
                                                  jnp.float32(i + 1))
     assert f._cache_size() == 1
+
+
+def test_feature_bank_append_api():
+    from vfloodnet_tpu.memory import FeatureBank
+    rng = np.random.RandomState(9)
+    fb = FeatureBank(obj_n=2, memory_budget=1024, keydim=8, valdim=8)
+    k0 = jnp.asarray(rng.randn(2, 16, 8).astype(np.float32))
+    v0 = jnp.asarray(rng.randn(2, 16, 8).astype(np.float32))
+    state = fb.init_bank(k0, v0)
+    k1 = jnp.asarray(rng.randn(2, 8, 8).astype(np.float32))
+    v1 = jnp.asarray(rng.randn(2, 8, 8).astype(np.float32))
+    state2 = fb.append(state, k1, v1, frame_idx=3.0)
+    assert int(state2.count()[0]) == 24
+    # appended slots carry the reference's usage bootstrap of 20
+    new_mask = np.asarray(state2.birth[0]) == 3.0
+    assert new_mask.sum() == 8
+    assert (np.asarray(state2.usage[0])[new_mask] == 20.0).all()

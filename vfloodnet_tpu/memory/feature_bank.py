@@ -102,6 +102,39 @@ class FeatureBank:
             peak_n=jnp.full((self.obj_n,), p, jnp.int32),
         )
 
+    def append(self, state: FeatureBankState, keys: jnp.ndarray,
+               values: jnp.ndarray, frame_idx: float = 0.0
+               ) -> FeatureBankState:
+        """Unconditional insert of extra frame features (reference
+        FeatureBank.append, :38-51: concatenates with usage bootstrapped to
+        20). Here the features land in the emptiest slots (free first, then
+        lowest-LFU)."""
+        fi = jnp.asarray(frame_idx, jnp.float32)
+
+        def one(bkeys, bvalues, valid, birth, usage, nk, nv):
+            n = bkeys.shape[0]
+            m = nk.shape[0]
+            age = jnp.maximum(fi - birth, 1.0)
+            prio = jnp.where(valid, usage / age, -2.0)
+            k = min(m, n)
+            _, dest = jax.lax.top_k(-prio, k)
+            idx = jnp.clip(jnp.arange(m), 0, k - 1)
+            d = dest[idx]
+            bkeys = bkeys.at[d].set(nk.astype(self.dtype))
+            bvalues = bvalues.at[d].set(nv.astype(self.dtype))
+            birth = birth.at[d].set(fi)
+            usage = usage.at[d].set(20.0)   # reference FeatureBank.py:46
+            valid = valid.at[d].set(True)
+            return bkeys, bvalues, valid, birth, usage
+
+        keys_, values_, valid_, birth_, usage_ = jax.vmap(one)(
+            state.keys, state.values, state.valid, state.birth, state.usage,
+            keys.astype(self.dtype), values.astype(self.dtype))
+        count = jnp.sum(valid_, axis=1).astype(jnp.int32)
+        return state.replace(keys=keys_, values=values_, valid=valid_,
+                             birth=birth_, usage=usage_,
+                             peak_n=jnp.maximum(state.peak_n, count))
+
     def record_usage(self, state: FeatureBankState,
                      usage_cnt: jnp.ndarray) -> FeatureBankState:
         """Apply the attention-read usage counts (reference AFB_URR.py:174:
