@@ -6,8 +6,15 @@ from .waterline import waterline_scan
 from .pooling import local_avg_pool, local_max_pool
 from .attention import bank_attention_read
 from .bank_update import bank_merge_append
+from .homography import (find_homography, perspective_transform,
+                         warp_perspective_nearest)
+from .nms import box_iou, nms, batched_class_nms
+from .roi_align import roi_align, multilevel_roi_align
 
 __all__ = [
+    "find_homography", "perspective_transform", "warp_perspective_nearest",
+    "box_iou", "nms", "batched_class_nms",
+    "roi_align", "multilevel_roi_align",
     "pad_divide_by",
     "unpad",
     "resize",
