@@ -37,6 +37,18 @@ def main():
     from vfloodnet_tpu.models import AFBURR
     from vfloodnet_tpu.pipelines.video_seg import VideoSegEngine
 
+    platform = jax.devices()[0].platform
+    # On a CPU fallback (wedged accelerator tunnel) shrink the workload so
+    # the benchmark still completes and emits its line; the platform field
+    # marks the result as non-TPU.
+    cpu_mode = platform == "cpu"
+    budget = 8_192 if cpu_mode else 250_000
+    res_hw = (360, 640) if cpu_mode else (1080, 1920)
+    operating = 240 if cpu_mode else 480
+    n_measure = 4 if cpu_mode else MEASURE_FRAMES
+    n_warm = 1 if cpu_mode else WARMUP_FRAMES
+    n_lat = 2 if cpu_mode else 8
+
     import tempfile
     from concurrent.futures import ThreadPoolExecutor
 
@@ -48,23 +60,23 @@ def main():
     model = AFBURR(dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((48, 64, 3)),
                            jnp.zeros((2, 48, 64)), method=model.init_all)
-    fb = FeatureBank(obj_n=2, memory_budget=250_000, dtype=jnp.bfloat16)
-    engine = VideoSegEngine(model, variables, fb, downsample=480,
+    fb = FeatureBank(obj_n=2, memory_budget=budget, dtype=jnp.bfloat16)
+    engine = VideoSegEngine(model, variables, fb, downsample=operating,
                             postprocess="host")
 
     rng = np.random.RandomState(0)
-    frame0 = rng.rand(1080, 1920, 3).astype(np.float32)
-    mask0 = np.zeros((1080, 1920), np.uint8)
-    mask0[540:, :] = 1
+    frame0 = rng.rand(*res_hw, 3).astype(np.float32)
+    mask0 = np.zeros(res_hw, np.uint8)
+    mask0[res_hw[0] // 2:, :] = 1
 
     state = engine.bootstrap(frame0, mask0)
     # pre-uploaded frames emulate the pipeline's prefetch threads (H2D is
     # overlapped with compute in the streaming CLI loop)
-    frames = [engine.upload((rng.rand(1080, 1920, 3) * 255).astype(np.uint8))
+    frames = [engine.upload((rng.rand(*res_hw, 3) * 255).astype(np.uint8))
               for _ in range(4)]
 
     # Warmup (compiles)
-    for i in range(WARMUP_FRAMES):
+    for i in range(n_warm):
         state, label = engine.step(state, frames[i % len(frames)], i + 1)
     label.block_until_ready()
 
@@ -84,9 +96,9 @@ def main():
     writes = []
     pending = None
     t0 = time.time()
-    for i in range(MEASURE_FRAMES):
+    for i in range(n_measure):
         state, label = engine.step(state, frames[i % len(frames)],
-                                   WARMUP_FRAMES + i + 1)
+                                   n_warm + i + 1)
         label.copy_to_host_async()
         if pending is not None:
             pi, plabel = pending
@@ -98,14 +110,14 @@ def main():
         w.result()
     total = time.time() - t0
     writer.shutdown()
-    fps = MEASURE_FRAMES / total
+    fps = n_measure / total
 
     # Latency: per-frame hard sync over a short tail.
     lat = []
-    for i in range(8):
+    for i in range(n_lat):
         t1 = time.time()
         state, label = engine.step(state, frames[i % len(frames)],
-                                   WARMUP_FRAMES + MEASURE_FRAMES + i + 1)
+                                   n_warm + n_measure + i + 1)
         label.block_until_ready()
         lat.append(time.time() - t1)
     p50_ms = float(np.percentile(np.array(lat) * 1000.0, 50))
@@ -115,9 +127,9 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ASSUMED_PYTORCH_GPU_FPS, 3),
         "p50_latency_ms": round(p50_ms, 1),
-        "bank_budget": 250_000,
-        "operating_short_side": 480,
-        "platform": jax.devices()[0].platform,
+        "bank_budget": budget,
+        "operating_short_side": operating,
+        "platform": platform,
     }))
 
 
