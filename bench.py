@@ -62,7 +62,7 @@ def main():
                            jnp.zeros((2, 48, 64)), method=model.init_all)
     fb = FeatureBank(obj_n=2, memory_budget=budget, dtype=jnp.bfloat16)
     engine = VideoSegEngine(model, variables, fb, downsample=operating,
-                            postprocess="host")
+                            postprocess="auto")
 
     rng = np.random.RandomState(0)
     frame0 = rng.rand(*res_hw, 3).astype(np.float32)
@@ -88,7 +88,8 @@ def main():
 
     def _write(i, label):
         pred = engine.fetch_label(label)            # D2H inside the pool
-        pred = host_largest_cc(pred)
+        if engine.postprocess == "host":
+            pred = host_largest_cc(pred)
         save_seg_mask(pred, f"{tmpdir}/{i:05d}.png")
 
     # Throughput: no per-frame sync (the pipeline is free-running; labels

@@ -36,10 +36,12 @@ def get_args():
                         help="Merge if similarity is higher, else append.")
     parser.add_argument("--downsample", type=int, default=480,
                         help="Short-side operating resolution.")
-    parser.add_argument("--postprocess", type=str, default="host",
-                        choices=["host", "device", "none"],
-                        help="Largest-CC cleanup: host (overlapped, default),"
-                             " device (mask stays device-resident), none.")
+    parser.add_argument("--postprocess", type=str, default="auto",
+                        choices=["auto", "host", "device", "none"],
+                        help="Largest-CC cleanup: auto (default: device on "
+                             "accelerator + few-CPU hosts, else host), host "
+                             "(overlapped writer pool), device (mask stays "
+                             "device-resident), none.")
     parser.add_argument("--checkpoint-every", type=int, default=0,
                         help="Checkpoint the bank every K frames "
                              "(long-video fault tolerance; 0 = off)")

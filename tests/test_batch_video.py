@@ -46,7 +46,7 @@ def test_batch_engine_matches_single_stream():
     for i in range(2):
         frames = np.stack([vids[0][i + 1], vids[1][i + 1]])
         st, labs = beng.step(st, frames, i + 1)
-        batch_labels.append(np.asarray(labs))
+        batch_labels.append(beng.fetch_labels(labs))
 
     for v in range(2):
         for i in range(2):

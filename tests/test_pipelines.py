@@ -27,6 +27,38 @@ def _write_clip(tmp_path, n=4, h=48, w=64):
     return str(frame_dir)
 
 
+def test_pack_bits_roundtrip():
+    from vfloodnet_tpu.pipelines.video_seg import pack_bits, unpack_bits
+    rng = np.random.RandomState(1)
+    for w in (64, 61, 8, 3):                     # incl. non-multiple-of-8
+        label = (rng.rand(13, w) > 0.5).astype(np.uint8)
+        packed = np.asarray(jax.jit(pack_bits)(jnp.asarray(label)))
+        np.testing.assert_array_equal(packed,
+                                      np.packbits(label, axis=1))
+        np.testing.assert_array_equal(unpack_bits(packed, w), label)
+
+
+def test_resolve_postprocess():
+    from vfloodnet_tpu.pipelines.video_seg import resolve_postprocess
+    assert resolve_postprocess(True) == "device"
+    assert resolve_postprocess(False) == "none"
+    assert resolve_postprocess("host") == "host"
+    # tests run on the CPU platform -> auto resolves to host
+    assert resolve_postprocess("auto") == "host"
+
+
+def test_host_largest_cc_matches_device_op():
+    from vfloodnet_tpu import ops
+    from vfloodnet_tpu.pipelines.video_seg import host_largest_cc
+    rng = np.random.RandomState(2)
+    for _ in range(5):
+        mask = (rng.rand(24, 31) > 0.55).astype(np.uint8)
+        host = host_largest_cc(mask)
+        dev = np.asarray(ops.largest_connected_component(jnp.asarray(mask)))
+        # identical component sizes; ties may pick a different component
+        assert host.sum() == dev.sum()
+
+
 def test_to_onehot():
     mask = np.zeros((4, 4), np.uint8)
     mask[1:3, 1:3] = 1

@@ -43,41 +43,99 @@ def to_onehot(mask: np.ndarray, obj_n: int) -> np.ndarray:
     return oh
 
 
+def pack_bits(label: jnp.ndarray) -> jnp.ndarray:
+    """Binary [H, W] uint8 label -> bit-packed [H, ceil(W/8)] uint8 (8x less
+    D2H traffic through the host tunnel). Row-major MSB-first, matching
+    ``np.packbits(..., axis=1)``."""
+    h, w = label.shape
+    wpad = -(-w // 8) * 8
+    lab = jnp.pad(label, ((0, 0), (0, wpad - w)))
+    bits = lab.reshape(h, wpad // 8, 8)
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+
+
+def unpack_bits(arr: np.ndarray, w: int) -> np.ndarray:
+    """Host inverse of :func:`pack_bits` over the last axis (any leading
+    axes)."""
+    return np.unpackbits(arr, axis=-1)[..., :w]
+
+
+def device_largest_cc(label_full: jnp.ndarray,
+                      label_small: jnp.ndarray) -> jnp.ndarray:
+    """Largest-CC cleanup on device. The component filter runs at the small
+    operating resolution (CC topology is scale-invariant for the bicubically
+    upsampled mask) and the keep-mask is nearest-upsampled — same behaviour
+    as the reference's full-res ``postprocessing_pred``
+    (myutils/data.py:17-37) at a fraction of the cost."""
+    keep = ops.largest_connected_component(label_small)
+    keep_full = ops.resize(keep, label_full.shape, "nearest",
+                           spatial_axes=(-2, -1))
+    return label_full * keep_full
+
+
+def resolve_postprocess(postprocess) -> str:
+    """Normalise the largest-CC postprocess mode ('auto' picks the device op
+    when an accelerator backs the process but the host has too few CPUs to
+    overlap the cv2 cleanup)."""
+    if postprocess is True:
+        return "device"
+    if postprocess is False:
+        return "none"
+    if postprocess == "auto":
+        on_accel = jax.devices()[0].platform != "cpu"
+        few_cpus = (os.cpu_count() or 1) < 4
+        return "device" if (on_accel and few_cpus) else "host"
+    return postprocess
+
+
 def host_largest_cc(label: np.ndarray) -> np.ndarray:
-    """Host-side largest-CC cleanup (scipy), for use inside the overlapped
-    writer pool — behaviourally identical to the device op but off the
-    device critical path."""
-    from scipy import ndimage
-    lab, n = ndimage.label(label, structure=np.ones((3, 3), int))
-    if n <= 1:
-        return (lab > 0).astype(np.uint8)
-    sizes = np.bincount(lab.ravel())
-    sizes[0] = 0
-    return (lab == sizes.argmax()).astype(np.uint8)
+    """Host-side largest-CC cleanup, for use inside the overlapped writer
+    pool — behaviourally identical to the device op but off the device
+    critical path. Uses cv2's SIMD connected components when available
+    (~12x faster than scipy at 1080p; also what the reference's
+    ``postprocessing_pred`` uses, myutils/data.py:19), scipy otherwise."""
+    try:
+        import cv2
+        n, lab, stats, _ = cv2.connectedComponentsWithStats(
+            np.ascontiguousarray(label, np.uint8), connectivity=8)
+        if n <= 1:
+            return np.zeros_like(label, np.uint8)
+        if n == 2:
+            return (lab == 1).astype(np.uint8)
+        biggest = 1 + int(stats[1:, cv2.CC_STAT_AREA].argmax())
+        return (lab == biggest).astype(np.uint8)
+    except ImportError:
+        from scipy import ndimage
+        lab, n = ndimage.label(label, structure=np.ones((3, 3), int))
+        if n <= 1:
+            return (lab > 0).astype(np.uint8)
+        sizes = np.bincount(lab.ravel())
+        sizes[0] = 0
+        return (lab == sizes.argmax()).astype(np.uint8)
 
 
 class VideoSegEngine:
     """Jitted propagation engine for one video resolution.
 
     ``postprocess``: largest-CC mask cleanup mode —
-      - 'host' (default): applied on host inside the writer pool
-        (overlapped, zero device cost),
+      - 'host': applied on host inside the writer pool (overlapped, zero
+        device cost),
       - 'device' / True: jitted device op chained after the step (keeps the
         cleaned mask device-resident for device-side consumers),
-      - 'none' / False: disabled.
+      - 'none' / False: disabled,
+      - 'auto' (default): 'device' when an accelerator backs the engine but
+        the host has too few CPUs to overlap the cv2 cleanup (~50 ms/frame
+        at 1080p), 'host' otherwise.
     """
 
     def __init__(self, model: AFBURR, variables, fb: FeatureBank,
-                 downsample: int = 480, postprocess="host"):
+                 downsample: int = 480, postprocess="auto"):
         self.model = model
         self.variables = variables
         self.fb = fb
         self.downsample = downsample
-        if postprocess is True:
-            postprocess = "device"
-        if postprocess is False:
-            postprocess = "none"
-        self.postprocess = postprocess
+        self.postprocess = resolve_postprocess(postprocess)
         self.full_hw = None
 
         @jax.jit
@@ -86,10 +144,14 @@ class VideoSegEngine:
                                  method=model.memorize)
             return k4, v4
 
+        pack = fb.obj_n == 2
+
         @partial(jax.jit, donate_argnums=0)
         def _step(state: FeatureBankState, frame_u8, frame_idx):
             """One frame: normalize + downsample + segment + memorize + bank
-            update + full-res upsample — one jitted graph.
+            update + full-res upsample (+ device CC cleanup + bit-packing,
+            when enabled) — ONE jitted graph, ONE dispatch per frame (each
+            dispatch is an RPC through the host tunnel).
 
             ``frame_u8`` is the full-res uint8 frame: uploading uint8 and
             normalising on device is 4x less H2D traffic (the dominant
@@ -116,40 +178,14 @@ class VideoSegEngine:
             up = ops.resize(pred[0], full_hw, "bicubic", spatial_axes=(-2, -1))
             label_full = jnp.argmax(up, axis=0).astype(jnp.uint8)
             label_small = jnp.argmax(pred[0], axis=0).astype(jnp.uint8)
+            if self.postprocess == "device":   # static at trace time
+                label_full = device_largest_cc(label_full, label_small)
+            if pack:                           # binary masks go bit-packed
+                label_full = pack_bits(label_full)
             return state, label_full, label_small
-
-        pack = fb.obj_n == 2
-
-        def _maybe_pack(label):
-            """Binary masks transfer bit-packed (8x less D2H through the
-            host tunnel); multi-object labels transfer raw."""
-            if not pack:
-                return label
-            h, w = label.shape
-            wpad = -(-w // 8) * 8
-            lab = jnp.pad(label, ((0, 0), (0, wpad - w)))
-            bits = lab.reshape(h, wpad // 8, 8)
-            weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-            return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
-
-        self._maybe_pack = jax.jit(_maybe_pack) if pack else (lambda x: x)
-
-        @jax.jit
-        def _clean(label_full, label_small):
-            """Largest-CC cleanup. The component filter runs at the small
-            operating resolution (CC topology is scale-invariant for the
-            bicubically upsampled mask) and the keep-mask is nearest-upsampled
-            — same behaviour as the reference's full-res
-            ``postprocessing_pred`` (myutils/data.py:17-37) at a fraction of
-            the cost."""
-            keep = ops.largest_connected_component(label_small)
-            keep_full = ops.resize(keep, label_full.shape, "nearest",
-                                   spatial_axes=(-2, -1))
-            return label_full * keep_full
 
         self._init_bank = _init_bank
         self._step = _step
-        self._clean = _clean
 
     def bootstrap(self, first_frame: np.ndarray, first_mask: np.ndarray,
                   ) -> FeatureBankState:
@@ -186,18 +222,14 @@ class VideoSegEngine:
         label map on device)."""
         if not isinstance(frame, jax.Array):
             frame = self.upload(frame)
-        state, label_full, label_small = self._step(
-            state, frame, jnp.float32(frame_idx))
-        if self.postprocess == "device":
-            label_full = self._clean(label_full, label_small)
-        return state, self._maybe_pack(label_full)
+        state, label, _ = self._step(state, frame, jnp.float32(frame_idx))
+        return state, label
 
     def fetch_label(self, label) -> np.ndarray:
         """Device label handle (possibly bit-packed) -> host uint8 [H, W]."""
         arr = np.asarray(jax.device_get(label))
         if self.fb.obj_n == 2 and self.full_hw is not None:
-            h, w = self.full_hw
-            arr = np.unpackbits(arr, axis=1)[:, :w]
+            arr = unpack_bits(arr, self.full_hw[1])
         return arr
 
 
@@ -214,7 +246,7 @@ def run_video_segmentation(test_path: str, test_name: str,
                            merge_thres: float = 0.95,
                            downsample: int = 480,
                            viz: bool = True,
-                           postprocess="host",
+                           postprocess="auto",
                            image_model_path: Optional[str] = None,
                            first_mask_path: Optional[str] = None,
                            checkpoint_every: int = 0) -> dict:

@@ -25,19 +25,26 @@ import numpy as np
 from .. import ops
 from ..memory import FeatureBank, FeatureBankState
 from ..models import AFBURR
-from .video_seg import to_onehot
+from .video_seg import (device_largest_cc, pack_bits, resolve_postprocess,
+                        to_onehot, unpack_bits)
 
 
 class BatchVideoSegEngine:
-    """Jitted B-stream propagation engine (fixed B, resolution, obj_n)."""
+    """Jitted B-stream propagation engine (fixed B, resolution, obj_n).
+
+    ``postprocess``: largest-CC cleanup placement, as in
+    :class:`~vfloodnet_tpu.pipelines.video_seg.VideoSegEngine` ('auto'
+    default picks device CC on accelerator + few-CPU hosts).
+    """
 
     def __init__(self, model: AFBURR, variables, fb: FeatureBank,
-                 batch: int, downsample: int = 480):
+                 batch: int, downsample: int = 480, postprocess="auto"):
         self.model = model
         self.variables = variables
         self.fb = fb
         self.batch = batch
         self.downsample = downsample
+        self.postprocess = resolve_postprocess(postprocess)
         self.full_hw: Optional[Tuple[int, int]] = None
 
         @jax.jit
@@ -85,6 +92,11 @@ class BatchVideoSegEngine:
             full_hw = frames_u8.shape[1:3]
             up = ops.resize(preds, full_hw, "bicubic", spatial_axes=(-2, -1))
             labels = jnp.argmax(up, axis=1).astype(jnp.uint8)   # [B, H, W]
+            if self.postprocess == "device":    # static at trace time
+                labels_small = jnp.argmax(preds, axis=1).astype(jnp.uint8)
+                labels = jax.vmap(device_largest_cc)(labels, labels_small)
+            if self.fb.obj_n == 2:              # binary masks go bit-packed
+                labels = jax.vmap(pack_bits)(labels)
             return state, labels
 
         self._init_banks = _init_banks
@@ -123,6 +135,14 @@ class BatchVideoSegEngine:
                 frames = (frames * 255.0 + 0.5).astype(np.uint8)
             frames = jax.device_put(frames)
         return self._step(state, frames, jnp.float32(frame_idx))
+
+    def fetch_labels(self, labels) -> np.ndarray:
+        """Device label handle (bit-packed when obj_n == 2) -> host uint8
+        [B, H, W]."""
+        arr = np.asarray(jax.device_get(labels))
+        if self.fb.obj_n == 2 and self.full_hw is not None:
+            arr = unpack_bits(arr, self.full_hw[1])
+        return arr
 
 
 def run_video_segmentation_batch(test_paths: Sequence[str],
@@ -191,12 +211,21 @@ def run_video_segmentation_batch(test_paths: Sequence[str],
     writes = []
 
     def _write(vi, name, pred, frame):
-        pred = host_largest_cc(pred)
+        if engine.postprocess == "host":
+            pred = host_largest_cc(pred)
         save_seg_mask(pred, os.path.join(mask_dirs[vi], name + ".png"))
         if viz:
             save_overlay(frame, pred,
                          os.path.join(overlay_dirs[vi], name + ".png"))
 
+    def _flush(names, labels, frames):
+        """Fetch (D2H inside the pool) then fan out per-stream writes."""
+        labels_np = engine.fetch_labels(labels)
+        for vi, name in enumerate(names):
+            if name is not None:
+                _write(vi, name, labels_np[vi], frames[vi])
+
+    pending = None   # (names, labels_device, frames_host)
     for t in range(1, max_len):
         batch_frames = []
         batch_names = []
@@ -208,13 +237,13 @@ def run_video_segmentation_batch(test_paths: Sequence[str],
                 if t < len(frames) else None)
         state, labels = engine.step(state, np.stack(batch_frames), t)
         labels.copy_to_host_async()
-        labels_np = np.asarray(jax.device_get(labels))
-        for vi, name in enumerate(batch_names):
-            if name is not None:
-                writes.append(writer.submit(_write, vi, name,
-                                            labels_np[vi], batch_frames[vi]))
+        if pending is not None:                 # one step behind: overlapped
+            writes.append(writer.submit(_flush, *pending))
+        pending = (batch_names, labels, batch_frames)
         fps.add_frame_n(sum(1 for n in batch_names if n is not None))
 
+    if pending is not None:
+        _flush(*pending)
     for w in writes:
         w.result()
     fps.end()
