@@ -37,21 +37,23 @@ def _sweep(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
     big = jnp.where(fg, big, _INF)
 
     # Scanline propagation: cumulative min along runs of foreground.
+    # (Sequential per-direction updates converge in fewer sweeps than
+    # batching all four directions against the same input — measured
+    # equal per-iteration cost on TPU, so sequential wins.)
     def run_cummin(x, axis, reverse):
         # cumulative min that resets at background pixels: implemented via
         # associative_scan on (value, is_reset) pairs.
-        fgm = fg if axis == 1 else fg
         def combine(a, b):
             av, ar = a
             bv, br = b
             v = jnp.where(br, bv, jnp.minimum(av, bv))
             r = jnp.logical_or(ar, br)
             return v, r
-        vals = jnp.where(fgm, x, _INF)
-        resets = ~fgm
+        vals = jnp.where(fg, x, _INF)
+        resets = ~fg
         v, _ = jax.lax.associative_scan(combine, (vals, resets), axis=axis,
                                         reverse=reverse)
-        return jnp.where(fgm, v, _INF)
+        return jnp.where(fg, v, _INF)
 
     for axis in (0, 1):
         for reverse in (False, True):
@@ -104,11 +106,22 @@ def largest_connected_component(mask: jnp.ndarray) -> jnp.ndarray:
     component survives; everything else is zeroed. Returns uint8 {0,1}.
     """
     h, w = mask.shape
+    n = h * w
     labels = connected_components(mask)
-    flat = jnp.where(labels >= 0, labels, h * w).reshape(-1)
-    # Component sizes via scatter-add into a label histogram (one bin per
-    # pixel id + overflow bin for background).
-    sizes = jnp.zeros((h * w + 1,), jnp.int32).at[flat].add(1)
-    sizes = sizes.at[h * w].set(0)
-    best = jnp.argmax(sizes)
+    flat = jnp.where(labels >= 0, labels, n).reshape(-1)
+    # Largest component via sort + run-length, NOT a scatter-add histogram:
+    # XLA lowers a 400k-bin random-index scatter to a painfully slow TPU
+    # loop, while sort + cummax/cummin are log-depth and fast.
+    s = jnp.sort(flat)                       # background (= n) sorts last
+    pos = jnp.arange(n, dtype=jnp.int32)
+    change = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    # start index of the run each position belongs to (prefix max of starts)
+    run_start = jax.lax.cummax(jnp.where(change, pos, 0))
+    # end index (exclusive): suffix min of the NEXT run's start
+    next_start = jax.lax.cummin(
+        jnp.where(change, pos, n), reverse=True)
+    run_end = jnp.concatenate([next_start[1:], jnp.full((1,), n, jnp.int32)])
+    run_size = jnp.where(jnp.logical_and(change, s < n),
+                         run_end - run_start, 0)
+    best = s[jnp.argmax(run_size)]
     return (labels == best).astype(jnp.uint8)

@@ -62,13 +62,21 @@ def unpack_bits(arr: np.ndarray, w: int) -> np.ndarray:
 
 
 def device_largest_cc(label_full: jnp.ndarray,
-                      label_small: jnp.ndarray) -> jnp.ndarray:
-    """Largest-CC cleanup on device. The component filter runs at the small
-    operating resolution (CC topology is scale-invariant for the bicubically
-    upsampled mask) and the keep-mask is nearest-upsampled — same behaviour
-    as the reference's full-res ``postprocessing_pred``
-    (myutils/data.py:17-37) at a fraction of the cost."""
-    keep = ops.largest_connected_component(label_small)
+                      label_small: jnp.ndarray,
+                      scale: int = 2) -> jnp.ndarray:
+    """Largest-CC cleanup on device. The component filter runs at 1/scale of
+    the small operating resolution (CC topology is scale-invariant for the
+    bicubically upsampled mask, and the label-propagation cost scales with
+    pixel count) and the keep-mask is nearest-upsampled — same behaviour as
+    the reference's full-res ``postprocessing_pred`` (myutils/data.py:17-37)
+    at a fraction of the cost."""
+    h, w = label_small.shape[-2:]
+    if scale > 1 and min(h, w) // scale >= 16:
+        cc_in = ops.resize(label_small, (h // scale, w // scale), "nearest",
+                           spatial_axes=(-2, -1))
+    else:
+        cc_in = label_small
+    keep = ops.largest_connected_component(cc_in)
     keep_full = ops.resize(keep, label_full.shape, "nearest",
                            spatial_axes=(-2, -1))
     return label_full * keep_full
