@@ -195,7 +195,14 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
     prio = jnp.where(valid, lfu, -2.0)
     prio = jnp.where(protected, jnp.float32(1e30), prio)
     k = min(m, n)
-    _, victim_order = jax.lax.top_k(-prio, k)              # [k] slot ids
+    if jax.default_backend() == "tpu":
+        # TPU-optimized approximate k-smallest (recall ~0.95): eviction is
+        # an LFU *heuristic*, so near-lowest victims are as good as exact,
+        # and approx_min_k avoids the sort-bound exact top_k over the
+        # 100k-slot bank. CPU/other backends keep the exact path.
+        _, victim_order = jax.lax.approx_min_k(prio, k)    # [k] slot ids
+    else:
+        _, victim_order = jax.lax.top_k(-prio, k)          # [k] slot ids
 
     rank = jnp.cumsum(append_mask.astype(jnp.int32)) - 1   # [M]
     rank = jnp.clip(rank, 0, k - 1)

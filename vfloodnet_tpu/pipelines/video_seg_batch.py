@@ -90,10 +90,20 @@ class BatchVideoSegEngine:
             state = jax.vmap(upd_one)(state, k4, v4)
 
             full_hw = frames_u8.shape[1:3]
-            up = ops.resize(preds, full_hw, "bicubic", spatial_axes=(-2, -1))
-            labels = jnp.argmax(up, axis=1).astype(jnp.uint8)   # [B, H, W]
-            if self.postprocess == "device":    # static at trace time
+            if self.fb.obj_n == 2:
+                # binary: upsample the single difference channel (argmax over
+                # {bg, fg} == sign(fg - bg); bicubic is linear)
+                diff = preds[:, 1] - preds[:, 0]
+                up = ops.resize(diff, full_hw, "bicubic",
+                                spatial_axes=(-2, -1))
+                labels = (up > 0).astype(jnp.uint8)             # [B, H, W]
+                labels_small = (diff > 0).astype(jnp.uint8)
+            else:
+                up = ops.resize(preds, full_hw, "bicubic",
+                                spatial_axes=(-2, -1))
+                labels = jnp.argmax(up, axis=1).astype(jnp.uint8)
                 labels_small = jnp.argmax(preds, axis=1).astype(jnp.uint8)
+            if self.postprocess == "device":    # static at trace time
                 labels = jax.vmap(device_largest_cc)(labels, labels_small)
             if self.fb.obj_n == 2:              # binary masks go bit-packed
                 labels = jax.vmap(pack_bits)(labels)
