@@ -79,7 +79,10 @@ def test_detector_wrapper_with_pointrend():
                      post_nms_topk=20, max_detections=4,
                      test_short_side=64, test_max_side=96)
     model = GeneralizedRCNN(cfg)
-    v = model.init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)))
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)),
+                   method=model.init_all)
+    # init_all must create the point head (refinement runs outside __call__)
+    assert "point_head" in v["params"]
     det = build_detector(cfg, v)
     img = (np.random.RandomState(0).rand(80, 100, 3) * 255).astype(np.uint8)
     inst = det(img)

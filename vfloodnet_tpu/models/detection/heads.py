@@ -145,15 +145,25 @@ def box_inference(proposals: jnp.ndarray, prop_valid: jnp.ndarray,
     flat_boxes = boxes_k.reshape(r * k, 4)
     flat_scores = jnp.where(prop_valid[:, None], probs, 0.0).reshape(r * k)
     flat_classes = jnp.broadcast_to(jnp.arange(k)[None], (r, k)).reshape(-1)
+    flat_scores = jnp.where(flat_scores > score_thresh, flat_scores, 0.0)
+
+    # Cap the NMS candidate set: the greedy NMS builds an [N, N] IoU
+    # matrix, and the full R*K flattened set (1000 proposals x 80 classes)
+    # would need a 25 GB matrix. Detectron2 score-filters before NMS
+    # (dynamic); the static-shape equivalent is a top-k cap, far above
+    # max_det so behaviour matches for any realistic detection count.
+    cap = min(2048, r * k)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, cap)
+    cand_boxes = flat_boxes[top_idx]
+    cand_classes = flat_classes[top_idx]
 
     # class-aware NMS via coordinate offset
-    span = jnp.maximum(jnp.float32(max(image_hw)), jnp.max(flat_boxes)) + 1.0
-    offset_boxes = flat_boxes + flat_classes[:, None].astype(jnp.float32) * span
-    flat_scores = jnp.where(flat_scores > score_thresh, flat_scores, 0.0)
-    keep_idx, keep_scores, valid = nms(offset_boxes, flat_scores, nms_thresh,
+    span = jnp.maximum(jnp.float32(max(image_hw)), jnp.max(cand_boxes)) + 1.0
+    offset_boxes = cand_boxes + cand_classes[:, None].astype(jnp.float32) * span
+    keep_idx, keep_scores, valid = nms(offset_boxes, top_scores, nms_thresh,
                                        max_det, score_threshold=score_thresh)
-    return (flat_boxes[keep_idx], jnp.where(valid, flat_scores[keep_idx], 0.0),
-            flat_classes[keep_idx], valid)
+    return (cand_boxes[keep_idx], jnp.where(valid, top_scores[keep_idx], 0.0),
+            cand_classes[keep_idx], valid)
 
 
 def point_sample(feat: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
@@ -165,17 +175,23 @@ def point_sample(feat: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     return _bilinear_sample(feat, ys[None], xs[None])[0]   # [P, C]
 
 
-def pointrend_refine(point_head: PointHead, variables, coarse_logits,
-                     fine_feat, box, num_subdivisions: int = 3,
+def pointrend_refine(point_head: PointHead, variables, coarse_sel,
+                     coarse_all, det_class, fine_feat, box,
+                     num_subdivisions: int = 3,
                      points_per_step: int = 784):
     """PointRend subdivision inference for one instance: iteratively 2x
-    upsample the coarse mask and re-predict the ``points_per_step`` most
-    uncertain points with the point head.
+    upsample the selected-class mask and re-predict the ``points_per_step``
+    most uncertain points with the point head.
 
-    coarse_logits [M, M] (selected class), fine_feat [H, W, C] (P2), box
-    xyxy in image coords. Returns refined logits at M * 2^k resolution.
+    coarse_sel [M, M] selected-class logits (tracked for uncertainty and
+    output); coarse_all [M, M, K] the coarse head's full per-class logits —
+    D2's point head consumes ALL K coarse channels at each sampled point
+    (projects/PointRend point_head), sampled from the coarse 28x28
+    prediction, not the progressively refined map; det_class scalar int32;
+    fine_feat [H, W, C] (P2, stride 4); box xyxy in image coords.
+    Returns refined selected-class logits at M * 2^k resolution.
     """
-    logits = coarse_logits
+    logits = coarse_sel
     x1, y1, x2, y2 = box
     bw = jnp.maximum(x2 - x1, 1e-6)
     bh = jnp.maximum(y2 - y1, 1e-6)
@@ -199,7 +215,11 @@ def pointrend_refine(point_head: PointHead, variables, coarse_logits,
         pts = jnp.stack([img_x / (w * 4.0), img_y / (h * 4.0)], axis=1)
         # fine_feat is P2 (stride 4): normalize by image size = feat * 4
         fine = point_sample(fine_feat, pts)          # [k, C]
-        coarse_pts = logits.reshape(-1)[idx][:, None]
-        refined = point_head.apply(variables, fine[None], coarse_pts[None])
-        logits = logits.reshape(-1).at[idx].set(refined[0, :, 0]).reshape(m2, m2)
+        coarse_pts = point_sample(coarse_all,
+                                  jnp.stack([u, v], axis=1))      # [k, K]
+        refined = point_head.apply(variables, fine[None],
+                                   coarse_pts[None])[0]           # [k, K]
+        cls_col = jnp.broadcast_to(det_class, (k,))[:, None]
+        sel = jnp.take_along_axis(refined, cls_col, axis=1)[:, 0]
+        logits = logits.reshape(-1).at[idx].set(sel).reshape(m2, m2)
     return logits

@@ -103,6 +103,7 @@ class GeneralizedRCNN(nn.Module):
             out["mask_logits"] = sel                         # [D, 28, 28]
             if self.cfg.with_pointrend:
                 out["p2"] = pyramid[0][0]
+                out["coarse_all"] = mask_logits              # [D, 28, 28, K]
 
         if self.cfg.with_keypoints:
             kp_feats = multilevel_roi_align(
@@ -110,6 +111,18 @@ class GeneralizedRCNN(nn.Module):
             heat = self.keypoint_head(kp_feats)              # [D, 56, 56, K]
             out["keypoint_heatmaps"] = heat
 
+        return out
+
+    def init_all(self, image_bgr: jnp.ndarray):
+        """__call__ plus a dummy point-head invocation so ``init`` creates
+        the COMPLETE parameter tree: the PointRend refinement runs outside
+        __call__ (in :func:`build_detector`), so a plain init would omit
+        ``point_head`` and checkpoint restore would drop its weights."""
+        out = self.__call__(image_bgr)
+        if self.cfg.with_pointrend:
+            fine = jnp.zeros((1, 4, 256), self.dtype)
+            coarse = jnp.zeros((1, 4, self.cfg.num_classes), self.dtype)
+            self.point_head(fine, coarse)
         return out
 
 
@@ -158,32 +171,40 @@ def build_detector(cfg: RCNNConfig, variables, refine_points: bool = True
 
     use_pointrend = cfg.with_pointrend and refine_points
 
-    def _apply(img):
-        out = model.apply(variables, img)
+    def _apply(vs, img):
+        # NOTE: vs is a jit ARGUMENT, not a closure constant — closed-over
+        # weights get baked into the HLO as literals, which blows past the
+        # remote-compile relay's request-size limit for X-101-sized models.
+        out = model.apply(vs, img)
         if use_pointrend and "mask_logits" in out:
             # PointRend subdivision refinement per detection (28 -> 224),
             # vmapped over the fixed detection count.
             point_head = PointHead(cfg.num_classes, name="point_head")
-            ph_vars = {"params": variables["params"]["point_head"]} \
-                if "point_head" in variables.get("params", {}) else None
+            ph_vars = {"params": vs["params"]["point_head"]} \
+                if "point_head" in vs.get("params", {}) else None
             if ph_vars is not None:
                 p2 = out.pop("p2")
+                coarse_all = out.pop("coarse_all")
 
-                def refine_one(coarse, box):
-                    return pointrend_refine(point_head, ph_vars, coarse, p2,
-                                            box, num_subdivisions=3)
+                def refine_one(coarse_sel, call, box, cls):
+                    return pointrend_refine(point_head, ph_vars, coarse_sel,
+                                            call, cls, p2, box,
+                                            num_subdivisions=3)
 
                 out["mask_logits"] = jax.vmap(refine_one)(
-                    out["mask_logits"], out["boxes"])
+                    out["mask_logits"], coarse_all, out["boxes"],
+                    out["classes"])
         out.pop("p2", None)
+        out.pop("coarse_all", None)
         return out
 
     apply_fn = jax.jit(_apply)
+    variables = jax.device_put(variables)   # upload once, reuse per call
 
     def detector(img_bgr: np.ndarray) -> Instances:
         padded, scale = preprocess_bgr(img_bgr, cfg.test_short_side,
                                        cfg.test_max_side)
-        out = jax.device_get(apply_fn(jax.device_put(padded)))
+        out = jax.device_get(apply_fn(variables, jax.device_put(padded)))
         valid = out["valid"]
         boxes = out["boxes"] / scale
         n = int(valid.sum())
@@ -248,12 +269,17 @@ def load_default_detector(opt: str, model_path: Optional[str] = None):
                      "people": "records/keypoint_r101_tpu"}
     path = model_path or default_paths.get(opt)
 
+    # init_all also touches the point head (refinement runs outside
+    # __call__); jitted because eager flax init would run the whole graph
+    # op-by-op — minutes on CPU.
+    init = jax.jit(lambda key, img: model.init(key, img,
+                                               method=model.init_all))
     if path and os.path.isdir(path):
         from ...core.checkpoint import restore_checkpoint
-        dummy = model.init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)))
+        dummy = init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)))
         variables = restore_checkpoint(path, target=dummy)
     else:
         warnings.warn(f"No detector checkpoint at {path!r}; random init "
                       "(smoke mode).")
-        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)))
+        variables = init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)))
     return build_detector(cfg, variables)

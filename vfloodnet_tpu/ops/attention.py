@@ -99,20 +99,30 @@ def _xla_read_dense(keys: jnp.ndarray, values: jnp.ndarray,
                     valid: jnp.ndarray, q: jnp.ndarray,
                     thres: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One-shot read: materialises the [P, N] score matrix. Fastest when it
-    fits HBM (one big MXU matmul instead of a serialised chunk scan)."""
+    fits HBM (one big MXU matmul instead of a serialised chunk scan).
+
+    For bf16 banks the [P, N] score/exp/prob intermediates are kept in bf16
+    (the read is HBM-bound, so halving the big-tensor traffic is worth the
+    ~0.5% softmax-weight noise — within the documented bf16 production
+    tolerance); f32 banks keep full-precision intermediates."""
     dk = keys.shape[1]
     scale = 1.0 / math.sqrt(dk)
     mm_dtype = keys.dtype
+    big_dtype = mm_dtype if mm_dtype == jnp.bfloat16 else jnp.float32
     s = jax.lax.dot(q.astype(mm_dtype), keys.T,
-                    preferred_element_type=jnp.float32) * scale   # [P, N]
-    s = jnp.where(valid[None, :], s, NEG_INF)
+                    preferred_element_type=big_dtype) * \
+        jnp.asarray(scale, big_dtype)                             # [P, N]
+    s = jnp.where(valid[None, :], s, jnp.asarray(NEG_INF, big_dtype))
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
-    l = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
-    p = e / l
+    # row normaliser accumulated in f32 regardless of storage dtype
+    l = jnp.maximum(jnp.sum(e, axis=1, keepdims=True,
+                            dtype=jnp.float32), 1e-30)
+    p = e * (1.0 / l).astype(big_dtype)
     mem = jax.lax.dot(p.astype(mm_dtype), values,
                       preferred_element_type=jnp.float32)
-    cnt = jnp.sum(jnp.logical_and(p > thres, valid[None, :]),
+    cnt = jnp.sum(jnp.logical_and(e > (thres * l).astype(big_dtype),
+                                  valid[None, :]),
                   axis=0).astype(jnp.float32)
     return mem.astype(values.dtype), cnt
 
