@@ -45,6 +45,10 @@ def get_args():
     parser.add_argument("--checkpoint-every", type=int, default=0,
                         help="Checkpoint the bank every K frames "
                              "(long-video fault tolerance; 0 = off)")
+    parser.add_argument("--memorize-every", type=int, default=1,
+                        help="Memorize/update the bank only every K-th "
+                             "frame (1 = reference behaviour; >1 trades "
+                             "some accuracy for throughput)")
     parser.add_argument("--test-path", type=str, required=True,
                         help="Video frames directory")
     parser.add_argument("--test-name", type=str, required=True,
@@ -67,5 +71,6 @@ if __name__ == "__main__":
         merge_thres=args.merge_thres, downsample=args.downsample,
         viz=args.viz, postprocess=args.postprocess,
         image_model_path=args.image_model_path,
-        checkpoint_every=args.checkpoint_every)
+        checkpoint_every=args.checkpoint_every,
+        memorize_every=args.memorize_every)
     print(gct(), "Test video segmentation done.")

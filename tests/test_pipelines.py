@@ -94,6 +94,35 @@ def test_video_seg_engine_smoke(tmp_path):
     assert int(state.count()[0]) > 12
 
 
+def test_video_seg_engine_memorize_every():
+    """memorize_every=2: the bank only grows on memorize frames; skipped
+    frames still segment and record usage."""
+    model = AFBURR(read_chunk=256)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((48, 64, 3)),
+                           jnp.zeros((2, 48, 64)), method=model.init_all)
+    fb = FeatureBank(obj_n=2, memory_budget=2048)
+    engine = VideoSegEngine(model, variables, fb, downsample=48,
+                            postprocess=False, memorize_every=2)
+    assert engine._step_ro is not engine._step
+
+    rng = np.random.RandomState(1)
+    frame0 = rng.rand(48, 64, 3).astype(np.float32)
+    mask0 = np.zeros((48, 64), np.uint8)
+    mask0[20:40, 20:50] = 1
+    state = engine.bootstrap(frame0, mask0)
+    n0 = int(state.count()[0])
+
+    # frame 1: odd -> read-only step, bank unchanged
+    state, label = engine.step(state, rng.rand(48, 64, 3).astype(np.float32), 1)
+    assert int(state.count()[0]) == n0
+    assert float(np.asarray(state.usage).sum()) > 0      # usage recorded
+    # frame 2: even -> full step, bank grows
+    state, label = engine.step(state, rng.rand(48, 64, 3).astype(np.float32), 2)
+    assert int(state.count()[0]) > n0
+    label_np = engine.fetch_label(label)
+    assert set(np.unique(label_np)) <= {0, 1}
+
+
 def test_run_video_segmentation_cli_flow(tmp_path):
     frame_dir = _write_clip(tmp_path)
     model = AFBURR(read_chunk=256)

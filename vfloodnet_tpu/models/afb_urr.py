@@ -182,6 +182,7 @@ class AFBURR(nn.Module):
     keydim: int = 128
     valdim: int = 512
     read_chunk: int = 4096
+    read_impl: str = "auto"   # bank_attention_read impl selector
     thres_valid: float = 1e-3
     dtype: Any = jnp.float32
 
@@ -265,7 +266,8 @@ class AFBURR(nn.Module):
             return bank_attention_read(keys, values, valid,
                                        q.astype(jnp.float32),
                                        thres=self.thres_valid,
-                                       chunk=self.read_chunk)
+                                       chunk=self.read_chunk,
+                                       impl=self.read_impl)
 
         # vmap over objects, then over batch queries.
         read_obj = jax.vmap(read_one, in_axes=(0, 0, 0, None))     # over obj

@@ -57,13 +57,19 @@ def _best_match(bank_keys: jnp.ndarray, bank_mag: jnp.ndarray,
     new_mm = normed_new.astype(mm_dtype)
 
     if n * m <= 256 * 1024 * 1024:
-        # dense one-shot: one big MXU matmul beats a serialised chunk scan
+        # dense one-shot: one big MXU matmul beats a serialised chunk scan.
+        # For bf16 banks the [M, N] correlation intermediate stays bf16
+        # (the match is HBM-bound; cosine error ~4e-3 around the 0.95 merge
+        # threshold only flips borderline merge-vs-append decisions of
+        # near-duplicate features — within bf16 production tolerance).
+        big_dtype = mm_dtype if mm_dtype == jnp.bfloat16 else jnp.float32
         corr = jax.lax.dot(new_mm, bank_keys.T,
-                           preferred_element_type=jnp.float32)   # [M, N]
-        corr = corr * inv_mag[None, :]
-        corr = jnp.where(valid[None, :], corr, -2.0)
+                           preferred_element_type=big_dtype)     # [M, N]
+        corr = corr * inv_mag[None, :].astype(big_dtype)
+        corr = jnp.where(valid[None, :], corr, jnp.asarray(-2.0, big_dtype))
         best_idx = jnp.argmax(corr, axis=1).astype(jnp.int32)
-        best_corr = jnp.take_along_axis(corr, best_idx[:, None], axis=1)[:, 0]
+        best_corr = jnp.take_along_axis(
+            corr, best_idx[:, None], axis=1)[:, 0].astype(jnp.float32)
         return best_corr, best_idx
 
     chunk = min(chunk, n)

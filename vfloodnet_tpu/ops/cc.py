@@ -55,21 +55,27 @@ def _sweep(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
                                         reverse=reverse)
         return jnp.where(fg, v, _INF)
 
-    for axis in (0, 1):
-        for reverse in (False, True):
-            big = jnp.minimum(big, run_cummin(big, axis, reverse))
-    big = jnp.where(fg, big, _INF)
-
     # Pointer jumping (union-find path shortcutting): a label is always the
     # raster index of a pixel in the same component, so L <- L[L] is safe and
     # contracts label chains geometrically — snake/percolation masks converge
-    # in O(log diameter) sweeps instead of O(diameter).
-    flat = big.reshape(-1)
-    for _ in range(2):
-        idx = jnp.clip(flat, 0, h * w - 1)
-        jumped = jnp.where(flat < _INF, flat[idx], _INF)
-        flat = jnp.minimum(flat, jumped)
-    return jnp.where(fg, flat.reshape(h, w), _INF)
+    # in O(log diameter) sweeps instead of O(diameter). Jumps are a single
+    # flat gather+min (cheap next to a log-depth scan), so they are
+    # interleaved between the row and column scan phases: labels spread along
+    # rows get shortcut before being spread down columns, which measurably
+    # cuts the number of while-loop sweeps on maze/percolation masks.
+    def jump(x, times):
+        flat = x.reshape(-1)
+        for _ in range(times):
+            idx = jnp.clip(flat, 0, h * w - 1)
+            jumped = jnp.where(flat < _INF, flat[idx], _INF)
+            flat = jnp.minimum(flat, jumped)
+        return flat.reshape(h, w)
+
+    for axis in (0, 1):
+        for reverse in (False, True):
+            big = jnp.minimum(big, run_cummin(big, axis, reverse))
+        big = jump(jnp.where(fg, big, _INF), 2)
+    return jnp.where(fg, jump(big, 1), _INF)
 
 
 def connected_components(mask: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:

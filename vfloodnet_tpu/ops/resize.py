@@ -58,8 +58,12 @@ def resize(x: jnp.ndarray, out_hw: Tuple[int, int], method: str = "bilinear",
     jmethod = _METHODS[method]
     if method == "nearest":
         return jax.image.resize(x, shape, method="nearest")
-    # Compute in f32 for accuracy, cast back.
-    out = jax.image.resize(x.astype(jnp.float32), shape, method=jmethod,
+    # bf16 inputs interpolate in bf16 (the resize lowers to matmuls whose
+    # MXU accumulation is f32, so only the stored taps lose precision —
+    # ~0.4% on [0,1] imagery, within the bf16 production tolerance, for
+    # half the HBM traffic). Everything else computes in f32.
+    compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    out = jax.image.resize(x.astype(compute), shape, method=jmethod,
                            antialias=antialias)
     return out.astype(x.dtype)
 

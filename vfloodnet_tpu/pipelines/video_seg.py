@@ -141,12 +141,14 @@ class VideoSegEngine:
     """
 
     def __init__(self, model: AFBURR, variables, fb: FeatureBank,
-                 downsample: int = 480, postprocess="auto"):
+                 downsample: int = 480, postprocess="auto",
+                 memorize_every: int = 1):
         self.model = model
         self.variables = variables
         self.fb = fb
         self.downsample = downsample
         self.postprocess = resolve_postprocess(postprocess)
+        self.memorize_every = max(1, int(memorize_every))
         self.full_hw = None
 
         @jax.jit
@@ -157,8 +159,9 @@ class VideoSegEngine:
 
         pack = fb.obj_n == 2
 
-        @partial(jax.jit, donate_argnums=0)
-        def _step(state: FeatureBankState, frame_u8, frame_idx):
+        def _make_step(update_bank: bool):
+          @partial(jax.jit, donate_argnums=0)
+          def _step(state: FeatureBankState, frame_u8, frame_idx):
             """One frame: normalize + downsample + segment + memorize + bank
             update + full-res upsample (+ device CC cleanup + bit-packing,
             when enabled) — ONE jitted graph, ONE dispatch per frame (each
@@ -168,8 +171,18 @@ class VideoSegEngine:
             normalising on device is 4x less H2D traffic (the dominant
             per-frame cost through the host tunnel), and donating the bank
             state lets XLA update the 0.5 GB bank buffers in place.
+
+            ``update_bank=False`` compiles the read-only variant used on
+            skipped frames when ``memorize_every > 1``: segmentation + usage
+            bookkeeping without memorize / merge / evict (the reference
+            memorizes every frame, test_video_seg.py:111-112 — this knob is
+            an opt-in speed/accuracy trade beyond the reference).
             """
-            frame_full = frame_u8.astype(jnp.float32) / 255.0
+            # Prep runs in the model's compute dtype: for bf16 production the
+            # 1080p normalize + bicubic downsample halves its HBM traffic,
+            # and the encoders cast the frame to bf16 anyway.
+            cd = model.dtype
+            frame_full = frame_u8.astype(cd) / jnp.asarray(255.0, cd)
             small_hw = ops.short_side_size(*frame_u8.shape[:2],
                                            self.downsample)
             frame_small = ops.resize(frame_full, small_hw, "bicubic",
@@ -179,10 +192,11 @@ class VideoSegEngine:
                 state.valid, False, method=model.segment)
             pred = jax.nn.softmax(score, axis=1)          # [1, obj, h, w]
 
-            k4, v4 = model.apply(variables, frame_small, pred[0],
-                                 method=model.memorize)
             state = fb.record_usage(state, cnt)
-            state = fb.update(state, k4, v4, frame_idx)
+            if update_bank:                    # static at trace time
+                k4, v4 = model.apply(variables, frame_small, pred[0],
+                                     method=model.memorize)
+                state = fb.update(state, k4, v4, frame_idx)
 
             # Full-resolution label map, device-side. For binary masks the
             # argmax over {bg, fg} equals sign(fg - bg), and bicubic resize
@@ -190,7 +204,10 @@ class VideoSegEngine:
             # the resize cost with an identical result.
             full_hw = frame_u8.shape[:2]
             if fb.obj_n == 2:
-                diff = pred[0, 1] - pred[0, 0]
+                # The upsample only feeds a sign test, so it runs in the
+                # compute dtype too (bf16 flips only |diff| ~ 1e-3 borderline
+                # pixels — within the documented bf16 mask tolerance).
+                diff = (pred[0, 1] - pred[0, 0]).astype(cd)
                 up = ops.resize(diff, full_hw, "bicubic",
                                 spatial_axes=(-2, -1))
                 label_full = (up > 0).astype(jnp.uint8)
@@ -205,9 +222,13 @@ class VideoSegEngine:
             if pack:                           # binary masks go bit-packed
                 label_full = pack_bits(label_full)
             return state, label_full, label_small
+          return _step
 
         self._init_bank = _init_bank
-        self._step = _step
+        self._step = _make_step(True)
+        # Read-only step only exists (and compiles) when frames get skipped.
+        self._step_ro = (_make_step(False) if self.memorize_every > 1
+                         else self._step)
 
     def bootstrap(self, first_frame: np.ndarray, first_mask: np.ndarray,
                   ) -> FeatureBankState:
@@ -244,7 +265,9 @@ class VideoSegEngine:
         label map on device)."""
         if not isinstance(frame, jax.Array):
             frame = self.upload(frame)
-        state, label, _ = self._step(state, frame, jnp.float32(frame_idx))
+        fn = (self._step if frame_idx % self.memorize_every == 0
+              else self._step_ro)
+        state, label, _ = fn(state, frame, jnp.float32(frame_idx))
         return state, label
 
     def fetch_label(self, label) -> np.ndarray:
@@ -271,7 +294,8 @@ def run_video_segmentation(test_path: str, test_name: str,
                            postprocess="auto",
                            image_model_path: Optional[str] = None,
                            first_mask_path: Optional[str] = None,
-                           checkpoint_every: int = 0) -> dict:
+                           checkpoint_every: int = 0,
+                           memorize_every: int = 1) -> dict:
     """End-to-end video segmentation over a frame directory.
 
     Mirrors the reference entry point behaviour (test_video_seg.py:41-123):
@@ -312,7 +336,8 @@ def run_video_segmentation(test_path: str, test_name: str,
     state = None
 
     engine = VideoSegEngine(model, variables, fb, downsample=downsample,
-                            postprocess=postprocess)
+                            postprocess=postprocess,
+                            memorize_every=memorize_every)
     state = engine.bootstrap(first_frame, first_mask)
 
     # Long-video fault tolerance: resume the bank from the last checkpoint.
