@@ -37,6 +37,33 @@ def test_video_train_step_runs_and_loss_finite():
     assert float(loss2) < float(loss1) + 1e-3
 
 
+def test_video_train_remat_matches_plain():
+    """remat=True recomputes the forward in the backward pass — the loss and
+    resulting params must match the non-remat step exactly."""
+    model = AFBURR(read_chunk=64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((32, 32, 3)),
+                           jnp.zeros((2, 32, 32)), method=model.init_all)
+    rng = np.random.RandomState(0)
+    frames, masks = _video_batch(rng, 1, 3, 32, 32)
+
+    results = []
+    for remat in (False, True):
+        cfg = VideoTrainConfig(clip_n=3, max_obj_n=2, remat=remat)
+        # The jitted step donates its state; give each run a fresh copy.
+        state, tx = init_video_train_state(
+            model, jax.tree.map(jnp.copy, variables), cfg, 10)
+        step = make_video_train_step(model, tx, cfg)
+        state, loss = step(state, frames, masks)
+        results.append((float(loss), state.params))
+    (l0, p0), (l1, p1) = results
+    assert np.isclose(l0, l1, rtol=1e-6)
+    leaves0 = jax.tree.leaves(p0)
+    leaves1 = jax.tree.leaves(p1)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=3e-5)
+
+
 def test_video_train_step_sharded_mesh():
     mesh = make_mesh((4, 2))
     model = AFBURR(read_chunk=64)

@@ -41,6 +41,9 @@ def get_args():
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard clips over all devices")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialise the per-clip forward in the backward "
+                        "pass (less HBM, more FLOPs - bigger clips/batches)")
     return p.parse_args()
 
 
@@ -53,7 +56,7 @@ if __name__ == "__main__":
         lr=args.lr, lambda_u=args.lu,
         scheduler_step_epochs=args.scheduler_step, epochs=args.total_epochs,
         clip_n=args.clip_n, max_obj_n=args.obj_n,
-        output_size=args.output_size, seed=args.seed)
+        output_size=args.output_size, seed=args.seed, remat=args.remat)
 
     log_dir = args.log or os.path.join(
         "logs", time.strftime("%Y%m%d-%H%M%S") + "_video_seg")

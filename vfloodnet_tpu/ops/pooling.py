@@ -16,24 +16,17 @@ def local_avg_pool(x: jnp.ndarray, size: int = 7) -> jnp.ndarray:
     matching torch ``nn.AvgPool2d(size, stride=1, padding=size//2)`` with
     count_include_pad=True default)."""
     pad = size // 2
-    # Separable two-pass sum (exact for add with zero padding): size*2
-    # reads per element instead of size**2 — the 7x7 pools run over
-    # [N, H/2, W/2, 256] decoder features, where the window work dominates.
+    # Single fused 2-D window: measured ~1 ms FASTER in the fused video step
+    # than an exact separable two-pass split (XLA's fused reduce_window
+    # lowering beats paying an extra [N, H/2, W/2, 256] intermediate).
     summed = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, size, 1, 1), (1, 1, 1, 1),
-        [(0, 0), (pad, pad), (0, 0), (0, 0)])
-    summed = jax.lax.reduce_window(
-        summed, 0.0, jax.lax.add, (1, 1, size, 1), (1, 1, 1, 1),
-        [(0, 0), (0, 0), (pad, pad), (0, 0)])
+        x, 0.0, jax.lax.add, (1, size, size, 1), (1, 1, 1, 1),
+        [(0, 0), (pad, pad), (pad, pad), (0, 0)])
     return summed / float(size * size)
 
 
 def local_max_pool(x: jnp.ndarray, size: int = 7) -> jnp.ndarray:
     pad = size // 2
-    # Separable max (exact: max over a rectangle = max of row-max cols).
-    out = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, size, 1, 1), (1, 1, 1, 1),
-        [(0, 0), (pad, pad), (0, 0), (0, 0)])
     return jax.lax.reduce_window(
-        out, -jnp.inf, jax.lax.max, (1, 1, size, 1), (1, 1, 1, 1),
-        [(0, 0), (0, 0), (pad, pad), (0, 0)])
+        x, -jnp.inf, jax.lax.max, (1, size, size, 1), (1, 1, 1, 1),
+        [(0, 0), (pad, pad), (pad, pad), (0, 0)])

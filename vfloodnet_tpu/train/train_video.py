@@ -37,6 +37,11 @@ class VideoTrainConfig:
     output_size: int = 400
     epochs: int = 100
     seed: int = 0
+    # Rematerialisation: recompute the per-clip forward during the backward
+    # pass instead of keeping all T-1 frames' activations live (the standard
+    # TPU HBM/FLOPs trade — enables bigger clips / per-chip batches; the
+    # reference has no equivalent, it is capped at batch_size=1).
+    remat: bool = False
 
 
 class VideoTrainState(struct.PyTreeNode):
@@ -47,7 +52,7 @@ class VideoTrainState(struct.PyTreeNode):
 
 
 def video_clip_loss(model: AFBURR, params, batch_stats, frames, masks,
-                    lambda_u: float):
+                    lambda_u: float, remat: bool = False):
     """Loss for a batch of clips.
 
     frames [B, T, H, W, 3]; masks [B, T, obj_n, H, W] one-hot.
@@ -66,6 +71,8 @@ def video_clip_loss(model: AFBURR, params, batch_stats, frames, masks,
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
         return ce.mean() + lambda_u * unc
 
+    if remat:
+        per_clip = jax.checkpoint(per_clip)
     losses = jax.vmap(per_clip)(frames, masks)
     return losses.mean()
 
@@ -116,7 +123,7 @@ def make_video_train_step(model: AFBURR, tx: optax.GradientTransformation,
     def step(state: VideoTrainState, frames, masks):
         def loss_fn(params):
             return video_clip_loss(model, params, state.batch_stats, frames,
-                                   masks, cfg.lambda_u)
+                                   masks, cfg.lambda_u, remat=cfg.remat)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
