@@ -148,3 +148,98 @@ def test_feature_bank_append_api():
     new_mask = np.asarray(state2.birth[0]) == 3.0
     assert new_mask.sum() == 8
     assert (np.asarray(state2.usage[0])[new_mask] == 20.0).all()
+
+
+# ---- Occupancy-bounded (dense-prefix) paths --------------------------------
+
+def test_attention_read_occ_bound_matches_full():
+    """The occupancy-bounded loop read must equal the full read when all
+    valid slots sit below occ_bound (dense-prefix invariant)."""
+    from vfloodnet_tpu.ops.attention import _xla_read_dense, _xla_read_occ
+    rng = np.random.RandomState(5)
+    n, dk, dv, p_n, occ = 20000, 16, 24, 40, 300
+    keys = jnp.asarray(rng.randn(n, dk).astype(np.float32))
+    values = jnp.asarray(rng.randn(n, dv).astype(np.float32))
+    valid = jnp.asarray(np.arange(n) < occ)
+    q = jnp.asarray(rng.randn(p_n, dk).astype(np.float32))
+    m_full, c_full = _xla_read_dense(keys, values, valid, q, 1e-3)
+    m_occ, c_occ = _xla_read_occ(keys, values, valid, q, 1e-3, 8192,
+                                 jnp.int32(occ))
+    np.testing.assert_allclose(np.asarray(m_occ), np.asarray(m_full),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_occ), np.asarray(c_full),
+                               atol=1.0)
+    # A loose bound (over-estimate) is still exact: validity masks the rest.
+    m_loose, c_loose = _xla_read_occ(keys, values, valid, q, 1e-3, 8192,
+                                     jnp.int32(occ + 9000))
+    np.testing.assert_allclose(np.asarray(m_loose), np.asarray(m_full),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_loose), np.asarray(c_full),
+                               atol=1.0)
+
+
+def test_best_match_occ_matches_full():
+    from vfloodnet_tpu.ops.bank_update import (_best_match, _best_match_occ,
+                                               _safe_normalize)
+    rng = np.random.RandomState(6)
+    n, d, m, occ = 20000, 16, 64, 500
+    keys = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    valid = jnp.asarray(np.arange(n) < occ)
+    mag = jnp.linalg.norm(keys, axis=1)
+    new, _ = _safe_normalize(jnp.asarray(rng.randn(m, d).astype(np.float32)))
+    c_full, i_full = _best_match(keys, mag, valid, new, 4096)
+    c_occ, i_occ = _best_match_occ(keys, mag, valid, new, jnp.int32(occ))
+    np.testing.assert_allclose(np.asarray(c_occ), np.asarray(c_full),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_occ), np.asarray(i_full))
+
+
+def _prefix_ok(state):
+    occ = np.asarray(state.occ)
+    valid = np.asarray(state.valid)
+    cap = valid.shape[1]
+    for o in range(valid.shape[0]):
+        expect = np.arange(cap) < occ[o]
+        if not (valid[o] == expect).all():
+            return False
+    return True
+
+
+def test_feature_bank_dense_prefix_invariant():
+    """init/update/append all keep valid slots densely packed at [0, occ)."""
+    from vfloodnet_tpu.memory import FeatureBank
+    rng = np.random.RandomState(7)
+    fb = FeatureBank(obj_n=2, memory_budget=512, keydim=8, valdim=8)
+    k0 = jnp.asarray(rng.randn(2, 16, 8).astype(np.float32))
+    v0 = jnp.asarray(rng.randn(2, 16, 8).astype(np.float32))
+    state = fb.init_bank(k0, v0)
+    assert _prefix_ok(state)
+    assert (np.asarray(state.occ) == 16).all()
+    for i in range(4):
+        nk = jnp.asarray(rng.randn(2, 32, 8).astype(np.float32))
+        nv = jnp.asarray(rng.randn(2, 32, 8).astype(np.float32))
+        state = fb.update(state, nk, nv, float(i + 1))
+        assert _prefix_ok(state)
+        assert (np.asarray(state.occ) ==
+                np.asarray(state.count())).all()
+    state = fb.append(state, k0, v0, frame_idx=9.0)
+    assert _prefix_ok(state)
+
+
+def test_feature_bank_occ_saturates_and_evicts():
+    """Random orthogonal-ish features overflow the tiny bank: occ pins at
+    capacity and evictions are recorded, prefix invariant intact."""
+    from vfloodnet_tpu.memory import FeatureBank
+    rng = np.random.RandomState(8)
+    fb = FeatureBank(obj_n=2, memory_budget=256, keydim=8, valdim=8)
+    cap = fb.class_budget
+    state = fb.init_bank(
+        jnp.asarray(rng.randn(2, 16, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 16, 8).astype(np.float32)))
+    for i in range(6):
+        nk = jnp.asarray(rng.randn(2, 48, 8).astype(np.float32))
+        nv = jnp.asarray(rng.randn(2, 48, 8).astype(np.float32))
+        state = fb.update(state, nk, nv, float(i + 1))
+        assert _prefix_ok(state)
+    assert (np.asarray(state.occ) == cap).all()
+    assert (np.asarray(state.replace_n) > 0).all()

@@ -39,6 +39,10 @@ class FeatureBankState:
     usage: jnp.ndarray     # [obj_n, cap] f32 — accumulated log usage
     peak_n: jnp.ndarray    # [obj_n] i32 — max occupied slots seen
     replace_n: jnp.ndarray # [obj_n] i32 — total evictions
+    # [obj_n] i32 — occupancy under the dense-prefix invariant (all valid
+    # slots live in [0, occ)); bounds the per-frame read/match work at
+    # O(occupancy) like the reference's growing bank (FeatureBank.py:106-110).
+    occ: jnp.ndarray
 
     @property
     def obj_n(self) -> int:
@@ -80,6 +84,7 @@ class FeatureBank:
             usage=jnp.zeros((self.obj_n, cap), jnp.float32),
             peak_n=jnp.zeros((self.obj_n,), jnp.int32),
             replace_n=jnp.zeros((self.obj_n,), jnp.int32),
+            occ=jnp.zeros((self.obj_n,), jnp.int32),
         )
 
     def init_bank(self, keys: jnp.ndarray, values: jnp.ndarray,
@@ -100,6 +105,7 @@ class FeatureBank:
             valid=valid,
             birth=state.birth.at[:, :p].set(frame_idx),
             peak_n=jnp.full((self.obj_n,), p, jnp.int32),
+            occ=jnp.full((self.obj_n,), p, jnp.int32),
         )
 
     def append(self, state: FeatureBankState, keys: jnp.ndarray,
@@ -107,33 +113,36 @@ class FeatureBank:
                ) -> FeatureBankState:
         """Unconditional insert of extra frame features (reference
         FeatureBank.append, :38-51: concatenates with usage bootstrapped to
-        20). Here the features land in the emptiest slots (free first, then
-        lowest-LFU)."""
+        20). The features extend the dense prefix (the reference's torch.cat
+        growth), overwriting lowest-LFU valid slots only when full."""
         fi = jnp.asarray(frame_idx, jnp.float32)
 
-        def one(bkeys, bvalues, valid, birth, usage, nk, nv):
+        def one(bkeys, bvalues, valid, birth, usage, occ, nk, nv):
             n = bkeys.shape[0]
             m = nk.shape[0]
-            age = jnp.maximum(fi - birth, 1.0)
-            prio = jnp.where(valid, usage / age, -2.0)
             k = min(m, n)
-            _, dest = jax.lax.top_k(-prio, k)
-            idx = jnp.clip(jnp.arange(m), 0, k - 1)
-            d = dest[idx]
-            bkeys = bkeys.at[d].set(nk.astype(self.dtype))
-            bvalues = bvalues.at[d].set(nv.astype(self.dtype))
-            birth = birth.at[d].set(fi)
-            usage = usage.at[d].set(20.0)   # reference FeatureBank.py:46
-            valid = valid.at[d].set(True)
-            return bkeys, bvalues, valid, birth, usage
+            age = jnp.maximum(fi - birth, 1.0)
+            prio = jnp.where(valid, usage / age, jnp.float32(1e30))
+            _, victim_order = jax.lax.top_k(-prio, k)
+            rank = jnp.arange(m, dtype=jnp.int32)
+            free_n = jnp.int32(n) - occ
+            victim = victim_order[jnp.clip(rank - free_n, 0, k - 1)]
+            victim = jnp.where(prio[victim] < 1e30, victim, jnp.int32(n))
+            d = jnp.where(rank < free_n, occ + rank, victim)
+            bkeys = bkeys.at[d].set(nk.astype(self.dtype), mode="drop")
+            bvalues = bvalues.at[d].set(nv.astype(self.dtype), mode="drop")
+            birth = birth.at[d].set(fi, mode="drop")
+            usage = usage.at[d].set(20.0, mode="drop")  # FeatureBank.py:46
+            valid = valid.at[d].set(True, mode="drop")
+            occ = jnp.minimum(occ + jnp.int32(m), jnp.int32(n))
+            return bkeys, bvalues, valid, birth, usage, occ
 
-        keys_, values_, valid_, birth_, usage_ = jax.vmap(one)(
+        keys_, values_, valid_, birth_, usage_, occ_ = jax.vmap(one)(
             state.keys, state.values, state.valid, state.birth, state.usage,
-            keys.astype(self.dtype), values.astype(self.dtype))
-        count = jnp.sum(valid_, axis=1).astype(jnp.int32)
+            state.occ, keys.astype(self.dtype), values.astype(self.dtype))
         return state.replace(keys=keys_, values=values_, valid=valid_,
-                             birth=birth_, usage=usage_,
-                             peak_n=jnp.maximum(state.peak_n, count))
+                             birth=birth_, usage=usage_, occ=occ_,
+                             peak_n=jnp.maximum(state.peak_n, occ_))
 
     def record_usage(self, state: FeatureBankState,
                      usage_cnt: jnp.ndarray) -> FeatureBankState:
@@ -150,21 +159,27 @@ class FeatureBank:
         new_keys [obj_n, P, dk], new_values [obj_n, P, dv].
         """
         fi = jnp.asarray(frame_idx, jnp.float32)
+        # Shared work bound for the cosine match (unbatched under vmap so the
+        # chunk loop keeps a single trip count).
+        occ_bound = jnp.max(state.occ)
 
-        def one(keys, values, valid, birth, usage, nk, nv):
+        def one(keys, values, valid, birth, usage, occ, nk, nv):
             return bank_merge_append(keys, values, valid, birth, usage, nk,
                                      nv, fi, update_rate=self.update_rate,
-                                     thres_close=self.thres_close)
+                                     thres_close=self.thres_close,
+                                     occ=occ, occ_bound=occ_bound)
 
-        keys, values, valid, birth, usage, stats = jax.vmap(one)(
+        keys, values, valid, birth, usage, occ, stats = jax.vmap(
+            one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
             state.keys, state.values, state.valid, state.birth, state.usage,
-            new_keys.astype(self.dtype), new_values.astype(self.dtype))
+            state.occ, new_keys.astype(self.dtype),
+            new_values.astype(self.dtype))
 
-        count = jnp.sum(valid, axis=1).astype(jnp.int32)
         return FeatureBankState(
             keys=keys, values=values, valid=valid, birth=birth, usage=usage,
-            peak_n=jnp.maximum(state.peak_n, count),
+            peak_n=jnp.maximum(state.peak_n, occ),
             replace_n=state.replace_n + stats.evicted_n,
+            occ=occ,
         )
 
     def report(self, state: FeatureBankState) -> str:

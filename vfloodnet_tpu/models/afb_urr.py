@@ -259,15 +259,19 @@ class AFBURR(nn.Module):
 
     def segment(self, frames: jnp.ndarray, bank_keys: jnp.ndarray,
                 bank_values: jnp.ndarray, bank_valid: jnp.ndarray,
-                training: bool = False):
+                training: bool = False, bank_occ=None):
+        """``bank_occ`` (optional [obj_n] i32): occupancy under the bank's
+        dense-prefix invariant — bounds the memory read at O(occupancy)."""
         k4, v4, skips, hw16, pad = self.encode_query(frames)
+        occ_bound = None if bank_occ is None else jnp.max(bank_occ)
 
         def read_one(keys, values, valid, q):
             return bank_attention_read(keys, values, valid,
                                        q.astype(jnp.float32),
                                        thres=self.thres_valid,
                                        chunk=self.read_chunk,
-                                       impl=self.read_impl)
+                                       impl=self.read_impl,
+                                       occ_bound=occ_bound)
 
         # vmap over objects, then over batch queries.
         read_obj = jax.vmap(read_one, in_axes=(0, 0, 0, None))     # over obj

@@ -127,15 +127,94 @@ def _xla_read_dense(keys: jnp.ndarray, values: jnp.ndarray,
     return mem.astype(values.dtype), cnt
 
 
+def _xla_read_occ(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray,
+                  q: jnp.ndarray, thres: float, chunk: int,
+                  occ_bound: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Occupancy-bounded read: identical semantics to the full read, but only
+    the first ``ceil(occ_bound / chunk)`` bank chunks are visited (a traced
+    trip count — no recompiles as the bank fills).
+
+    The bank keeps valid slots densely packed at the front (the dense-prefix
+    invariant maintained by ``bank_merge_append(occ=...)``), mirroring the
+    reference bank which *grows* with ``torch.cat`` (FeatureBank.py:106-110)
+    and therefore pays O(occupancy), not O(capacity), per frame. ``occ_bound``
+    is only a work bound: the ``valid`` mask is still applied inside each
+    chunk, so any bound >= highest valid slot index is exact.
+
+    ``occ_bound`` must be unbatched under vmap (pass ``max`` over objects) so
+    the loop lowers to a single shared-trip-count while_loop.
+    """
+    n, dk = keys.shape
+    dv = values.shape[1]
+    p_n = q.shape[0]
+    chunk = min(chunk, n)
+    n_chunks = _chunk_count(n, chunk)
+    pad_n = n_chunks * chunk
+
+    scale = 1.0 / math.sqrt(dk)
+    keys_p = jnp.pad(keys, ((0, pad_n - n), (0, 0)))
+    values_p = jnp.pad(values, ((0, pad_n - n), (0, 0)))
+    valid_p = jnp.pad(valid, (0, pad_n - n))
+
+    mm_dtype = keys.dtype
+    q_mm = q.astype(mm_dtype)
+    n_iter = jnp.clip((occ_bound + chunk - 1) // chunk, 1, n_chunks)
+
+    def scores(i):
+        start = i * chunk
+        k_c = jax.lax.dynamic_slice(keys_p, (start, 0), (chunk, dk))
+        ok = jax.lax.dynamic_slice(valid_p, (start,), (chunk,))
+        s = jax.lax.dot(q_mm, k_c.T,
+                        preferred_element_type=jnp.float32) * scale
+        return jnp.where(ok[None, :], s, NEG_INF), start, ok
+
+    def body1(i, carry):
+        m, l, acc = carry
+        s, start, _ = scores(i)
+        v_c = jax.lax.dynamic_slice(values_p, (start, 0), (chunk, dv))
+        m_new = jnp.maximum(m, jnp.max(s, axis=1))
+        alpha = jnp.exp(m - m_new)
+        e = jnp.exp(s - m_new[:, None])
+        l_new = l * alpha + jnp.sum(e, axis=1)
+        pv = jax.lax.dot(e.astype(mm_dtype), v_c,
+                         preferred_element_type=jnp.float32)
+        return m_new, l_new, acc * alpha[:, None] + pv
+
+    init = (jnp.full((p_n,), NEG_INF, jnp.float32),
+            jnp.zeros((p_n,), jnp.float32),
+            jnp.zeros((p_n, dv), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(0, n_iter, body1, init)
+    l_safe = jnp.maximum(l, 1e-30)
+    mem = acc / l_safe[:, None]
+
+    log_thres = jnp.log(thres) + jnp.log(l_safe) + m               # [P]
+
+    def body2(i, cnt):
+        s, start, ok = scores(i)
+        hit = jnp.logical_and(s > log_thres[:, None], ok[None, :])
+        c = jnp.sum(hit.astype(jnp.float32), axis=0)               # [chunk]
+        return jax.lax.dynamic_update_slice(cnt, c, (start,))
+
+    cnt = jax.lax.fori_loop(0, n_iter, body2,
+                            jnp.zeros((pad_n,), jnp.float32))[:n]
+    return mem.astype(values.dtype), cnt
+
+
 # Use the dense one-shot path when the score matrix stays under this many
 # elements (f32 bytes = 4x): 256M elements = 1 GB scores.
 DENSE_SCORE_ELEMENTS = 256 * 1024 * 1024
+
+# Occupancy-bounded loop chunk: big enough that each iteration's two matmuls
+# ([P, chunk] x [chunk, dv]) fill the MXU, small enough that a near-empty
+# bank costs one iteration.
+OCC_CHUNK = 8192
 
 
 def bank_attention_read(keys: jnp.ndarray, values: jnp.ndarray,
                         valid: jnp.ndarray, q: jnp.ndarray,
                         thres: float = 1e-3, chunk: int = 4096,
-                        impl: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        impl: str = "auto",
+                        occ_bound=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Softmax memory read: ``mem = softmax_n(K q / sqrt(dk))^T V``.
 
     Args:
@@ -147,6 +226,10 @@ def bank_attention_read(keys: jnp.ndarray, values: jnp.ndarray,
               Matcher.thres_valid = 1e-3).
       chunk:  bank-axis chunk size.
       impl:   'xla' | 'pallas' | 'auto'.
+      occ_bound: optional traced scalar upper bound on the highest valid slot
+              index + 1. When given, only ``ceil(occ_bound / OCC_CHUNK)``
+              chunks are visited — O(occupancy) work per read, matching the
+              reference's growing bank. Must be unbatched under vmap.
 
     Returns:
       mem [P, dv], usage count cnt [N] (float32).
@@ -154,6 +237,9 @@ def bank_attention_read(keys: jnp.ndarray, values: jnp.ndarray,
     if impl == "pallas":
         from .attention_pallas import pallas_bank_read
         return pallas_bank_read(keys, values, valid, q, thres)
+    if occ_bound is not None and keys.shape[0] > OCC_CHUNK:
+        return _xla_read_occ(keys, values, valid, q, thres, OCC_CHUNK,
+                             occ_bound)
     if impl == "dense" or (impl == "auto" and
                            keys.shape[0] * q.shape[0] <= DENSE_SCORE_ELEMENTS):
         return _xla_read_dense(keys, values, valid, q, thres)

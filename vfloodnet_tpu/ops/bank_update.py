@@ -100,6 +100,53 @@ def _best_match(bank_keys: jnp.ndarray, bank_mag: jnp.ndarray,
     return best_corr, best_idx
 
 
+# Occupancy-bounded loop chunk (see ops/attention.py OCC_CHUNK).
+OCC_CHUNK = 8192
+
+
+def _best_match_occ(bank_keys: jnp.ndarray, bank_mag: jnp.ndarray,
+                    valid: jnp.ndarray, normed_new: jnp.ndarray,
+                    occ_bound: jnp.ndarray,
+                    chunk: int = OCC_CHUNK) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Occupancy-bounded running argmax: only the first
+    ``ceil(occ_bound / chunk)`` bank chunks are correlated (traced trip
+    count). Exact as long as no valid slot lies at index >= occ_bound (the
+    dense-prefix invariant); the in-chunk valid mask handles the rest."""
+    n, d = bank_keys.shape
+    m = normed_new.shape[0]
+    chunk = min(chunk, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    inv_mag = jnp.where(valid, 1.0 / jnp.maximum(bank_mag, 1e-12), 0.0)
+    keys_p = jnp.pad(bank_keys, ((0, pad), (0, 0)))
+    valid_p = jnp.pad(valid, (0, pad))
+    inv_p = jnp.pad(inv_mag, (0, pad))
+    mm_dtype = bank_keys.dtype
+    new_mm = normed_new.astype(mm_dtype)
+    n_iter = jnp.clip((occ_bound + chunk - 1) // chunk, 1, n_chunks)
+
+    def body(i, carry):
+        best_corr, best_idx = carry
+        start = i * chunk
+        k_c = jax.lax.dynamic_slice(keys_p, (start, 0), (chunk, d))
+        ok = jax.lax.dynamic_slice(valid_p, (start,), (chunk,))
+        im = jax.lax.dynamic_slice(inv_p, (start,), (chunk,))
+        corr = jax.lax.dot(new_mm, k_c.T,
+                           preferred_element_type=jnp.float32)   # [M, chunk]
+        corr = jnp.where(ok[None, :], corr * im[None, :], -2.0)
+        local_best = jnp.argmax(corr, axis=1)
+        local_val = jnp.take_along_axis(corr, local_best[:, None],
+                                        axis=1)[:, 0]
+        better = local_val > best_corr
+        best_idx = jnp.where(better,
+                             start + local_best.astype(jnp.int32), best_idx)
+        return jnp.maximum(best_corr, local_val), best_idx
+
+    init = (jnp.full((m,), -2.0, jnp.float32), jnp.zeros((m,), jnp.int32))
+    best_corr, best_idx = jax.lax.fori_loop(0, n_iter, body, init)
+    return best_corr, best_idx
+
+
 def _sorted_group_means(datas, idx: jnp.ndarray, mask: jnp.ndarray):
     """Group-means over the M *incoming* features only (no bank-sized
     temporaries): sort rows by target slot, segmented suffix-sum within
@@ -151,15 +198,24 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
                       new_keys: jnp.ndarray, new_values: jnp.ndarray,
                       frame_idx: jnp.ndarray,
                       update_rate: float = 0.1, thres_close: float = 0.95,
-                      chunk: int = 4096):
+                      chunk: int = 4096, occ=None, occ_bound=None):
     """One static-shape bank update step (single object class).
 
     Args:
       keys [N, dk], values [N, dv], valid [N] bool, birth [N] f32 (frame the
       slot was written), usage [N] f32 (accumulated log usage), new_keys
       [M, dk], new_values [M, dv], frame_idx scalar (current frame number).
+      occ: optional traced scalar — this object's occupancy under the
+        dense-prefix invariant (all valid slots in ``[0, occ)``). When given,
+        appends fill the prefix tail ``[occ, ...)`` like the reference's
+        ``torch.cat`` growth (FeatureBank.py:106-110), falling back to LFU
+        eviction only once the bank is full, and the returned tuple gains the
+        new occupancy.
+      occ_bound: optional traced scalar work bound for the cosine match
+        (``max`` of occ over vmapped objects — must be unbatched under vmap).
 
-    Returns: (keys, values, valid, birth, usage, stats).
+    Returns: (keys, values, valid, birth, usage, stats) — or
+    (keys, values, valid, birth, usage, occ_new, stats) when ``occ`` given.
     """
     n, dk = keys.shape
     dv = values.shape[1]
@@ -169,8 +225,12 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
     normed_new_v, _ = _safe_normalize(new_values)
     bank_mag_k = jnp.linalg.norm(keys.astype(jnp.float32), axis=1)
 
-    best_corr, best_idx = _best_match(keys, bank_mag_k, valid, normed_new_k,
-                                      chunk)
+    if occ_bound is not None and n > OCC_CHUNK:
+        best_corr, best_idx = _best_match_occ(keys, bank_mag_k, valid,
+                                              normed_new_k, occ_bound)
+    else:
+        best_corr, best_idx = _best_match(keys, bank_mag_k, valid,
+                                          normed_new_k, chunk)
     merge_mask = best_corr > thres_close
 
     # ---- Merge (O(M) work): group incoming features by matched slot,
@@ -190,32 +250,57 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
     values = values.at[scat].set(merged_v.astype(values.dtype), mode="drop")
     protected = jnp.zeros((n,), bool).at[scat].set(True, mode="drop")
 
-    # ---- Append + LFU evict: one priority argsort + scatter ---------------
+    # ---- Append + LFU evict ----------------------------------------------
     append_mask = jnp.logical_not(merge_mask)
     age = jnp.maximum(frame_idx - birth, 1.0)
     lfu = usage / age
-    # Replacement priority: free slots first (-2), then lowest-LFU valid
-    # slots; slots merged this frame are protected. At most M slots can be
-    # overwritten per step, so a top-k (k = M) over negated priority replaces
-    # a full argsort of the 100k-slot bank.
-    prio = jnp.where(valid, lfu, -2.0)
-    prio = jnp.where(protected, jnp.float32(1e30), prio)
     k = min(m, n)
-    if jax.default_backend() == "tpu":
-        # TPU-optimized approximate k-smallest (recall ~0.95): eviction is
-        # an LFU *heuristic*, so near-lowest victims are as good as exact,
-        # and approx_min_k avoids the sort-bound exact top_k over the
-        # 100k-slot bank. CPU/other backends keep the exact path.
-        _, victim_order = jax.lax.approx_min_k(prio, k)    # [k] slot ids
-    else:
-        _, victim_order = jax.lax.top_k(-prio, k)          # [k] slot ids
-
     rank = jnp.cumsum(append_mask.astype(jnp.int32)) - 1   # [M]
-    rank = jnp.clip(rank, 0, k - 1)
-    dest = jnp.where(append_mask, victim_order[rank], n)   # n -> dropped
 
-    evicted = jnp.sum(jnp.where(append_mask,
-                                valid[jnp.clip(dest, 0, n - 1)], False))
+    if occ is not None:
+        # Dense-prefix fill (the reference's torch.cat growth): appends land
+        # at [occ, occ + free_used); only once the prefix tail is exhausted
+        # do lowest-LFU valid slots get overwritten. Keeps all valid slots
+        # packed at the front so reads/matches stay O(occupancy).
+        occ = jnp.asarray(occ, jnp.int32)
+        free_n = jnp.int32(n) - occ
+        prio = jnp.where(jnp.logical_and(valid, jnp.logical_not(protected)),
+                         lfu, jnp.float32(1e30))
+        if jax.default_backend() == "tpu":
+            _, victim_order = jax.lax.approx_min_k(prio, k)
+        else:
+            _, victim_order = jax.lax.top_k(-prio, k)
+        evict_rank = jnp.clip(rank - free_n, 0, k - 1)
+        victim = victim_order[evict_rank].astype(jnp.int32)
+        # A 1e30 victim means no evictable valid slot is left (only possible
+        # on tiny banks where M ~ capacity): drop that append rather than
+        # overwrite an out-of-prefix slot.
+        victim = jnp.where(prio[victim] < 1e30, victim, n)
+        dest = jnp.where(rank < free_n, occ + rank, victim)
+        dest = jnp.where(append_mask, dest, n)             # n -> dropped
+        appended_n = jnp.sum(append_mask.astype(jnp.int32))
+        evicted = jnp.clip(appended_n - free_n, 0, occ)
+        occ_new = jnp.minimum(occ + appended_n, jnp.int32(n))
+    else:
+        # Replacement priority: free slots first (-2), then lowest-LFU valid
+        # slots; slots merged this frame are protected. At most M slots can
+        # be overwritten per step, so a top-k (k = M) over negated priority
+        # replaces a full argsort of the 100k-slot bank.
+        prio = jnp.where(valid, lfu, -2.0)
+        prio = jnp.where(protected, jnp.float32(1e30), prio)
+        if jax.default_backend() == "tpu":
+            # TPU-optimized approximate k-smallest (recall ~0.95): eviction
+            # is an LFU *heuristic*, so near-lowest victims are as good as
+            # exact, and approx_min_k avoids the sort-bound exact top_k over
+            # the 100k-slot bank. CPU/other backends keep the exact path.
+            _, victim_order = jax.lax.approx_min_k(prio, k)    # [k] slot ids
+        else:
+            _, victim_order = jax.lax.top_k(-prio, k)          # [k] slot ids
+        dest = jnp.where(append_mask,
+                         victim_order[jnp.clip(rank, 0, k - 1)],
+                         n)                                # n -> dropped
+        evicted = jnp.sum(jnp.where(append_mask,
+                                    valid[jnp.clip(dest, 0, n - 1)], False))
 
     keys = keys.at[dest].set(new_keys, mode="drop")
     values = values.at[dest].set(new_values, mode="drop")
@@ -230,4 +315,6 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
         appended_n=jnp.sum(append_mask.astype(jnp.int32)),
         evicted_n=evicted.astype(jnp.int32),
     )
+    if occ is not None:
+        return keys, values, valid, birth, usage, occ_new, stats
     return keys, values, valid, birth, usage, stats

@@ -87,4 +87,7 @@ def shard_bank_state(mesh, state):
         usage=jax.device_put(state.usage, cap_spec),
         peak_n=jax.device_put(state.peak_n, rep),
         replace_n=jax.device_put(state.replace_n, rep),
+        # The sharded engine keeps full-capacity semantics (the prefix
+        # invariant doesn't hold per shard); occ rides along replicated.
+        occ=jax.device_put(state.occ, rep),
     )

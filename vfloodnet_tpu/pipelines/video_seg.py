@@ -189,7 +189,8 @@ class VideoSegEngine:
                                      spatial_axes=(0, 1))
             score, _, cnt = model.apply(
                 variables, frame_small[None], state.keys, state.values,
-                state.valid, False, method=model.segment)
+                state.valid, False, method=model.segment,
+                bank_occ=state.occ)
             pred = jax.nn.softmax(score, axis=1)          # [1, obj, h, w]
 
             state = fb.record_usage(state, cnt)

@@ -64,10 +64,15 @@ class BatchVideoSegEngine:
             frames_small = ops.resize(frames, small_hw, "bicubic",
                                       spatial_axes=(1, 2))
 
+            # Shared work bound across all streams/objects (closure-captured
+            # so it stays unbatched under the stream vmap — one trip count).
+            occ_all = state.occ
+
             def seg_one(frame, keys, values, valid):
                 score, _, cnt = model.apply(variables, frame[None], keys,
                                             values, valid, False,
-                                            method=model.segment)
+                                            method=model.segment,
+                                            bank_occ=occ_all)
                 return score[0], cnt
 
             scores, cnts = jax.vmap(seg_one)(frames_small, state.keys,
