@@ -72,13 +72,14 @@ def main():
     frame_small = prep(frame_u8)
 
     @jax.jit
-    def segment(frame_small, keys, values, valid):
+    def segment(frame_small, keys, values, valid, occ):
         score, _, cnt = model.apply(variables, frame_small[None], keys,
                                     values, valid, False,
-                                    method=model.segment)
+                                    method=model.segment, bank_occ=occ)
         return jax.nn.softmax(score, axis=1), cnt
 
-    pred, cnt = segment(frame_small, state.keys, state.values, state.valid)
+    pred, cnt = segment(frame_small, state.keys, state.values, state.valid,
+                        state.occ)
 
     @jax.jit
     def memorize(frame_small, pred):
@@ -116,17 +117,23 @@ def main():
     hw16 = jax.tree.map(int, hw16)       # back to static ints for re-jit
     pad = jax.tree.map(int, pad)
 
-    @jax.jit
-    def read(keys, values, valid, q):
-        def read_one(k, v, ok, qq):
-            return bank_attention_read(k, v, ok, qq.astype(jnp.float32),
-                                       thres=model.thres_valid,
-                                       chunk=model.read_chunk)
-        ro = jax.vmap(read_one, in_axes=(0, 0, 0, None))
-        return jax.vmap(ro, in_axes=(None, None, None, 0))(keys, values,
-                                                           valid, q)
+    def make_read(use_occ):
+        @jax.jit
+        def read(keys, values, valid, q, occ):
+            ob = jnp.max(occ) if use_occ else None
 
-    mem, _ = read(state.keys, state.values, state.valid, k4q)
+            def read_one(k, v, ok, qq):
+                return bank_attention_read(k, v, ok, qq.astype(jnp.float32),
+                                           thres=model.thres_valid,
+                                           chunk=model.read_chunk,
+                                           occ_bound=ob)
+            ro = jax.vmap(read_one, in_axes=(0, 0, 0, None))
+            return jax.vmap(ro, in_axes=(None, None, None, 0))(keys, values,
+                                                               valid, q)
+        return read
+
+    read, read_full = make_read(True), make_read(False)
+    mem, _ = read(state.keys, state.values, state.valid, k4q, state.occ)
 
     @jax.jit
     def dec(mem, v4q, skips):
@@ -138,7 +145,8 @@ def main():
     pall2 = jax.jit(lambda ks, vs, oks: jax.vmap(pall)(ks, vs, oks))
 
     print(f"  encode_query         {timeit(encq, frame_small):7.2f} ms")
-    print(f"  bank read (2 obj)    {timeit(read, state.keys, state.values, state.valid, k4q):7.2f} ms")
+    print(f"  bank read occ={int(state.occ[0])}  {timeit(read, state.keys, state.values, state.valid, k4q, state.occ):7.2f} ms")
+    print(f"  bank read full-cap   {timeit(read_full, state.keys, state.values, state.valid, k4q, state.occ):7.2f} ms")
     if os.environ.get("VFLOOD_BENCH_PALLAS") == "1":
         # Off by default: the pallas_call remote-compile at this shape ran
         # >45 min on the dev relay without finishing (2026-08-17).
@@ -151,7 +159,7 @@ def main():
     print(f"  decode               {timeit(dec, mem, v4q, skips):7.2f} ms")
 
     print(f"prep (u8->f32 + down)  {timeit(prep, frame_u8):7.2f} ms")
-    print(f"segment (enc+read+dec) {timeit(segment, frame_small, state.keys, state.values, state.valid):7.2f} ms")
+    print(f"segment (enc+read+dec) {timeit(segment, frame_small, state.keys, state.values, state.valid, state.occ):7.2f} ms")
     print(f"memorize               {timeit(memorize, frame_small, pred):7.2f} ms")
     print(f"update (bank)          {timeit(update, state, cnt, k4, v4):7.2f} ms")
     print(f"finish (up+argmax)     {timeit(finish, pred):7.2f} ms")
