@@ -60,17 +60,31 @@ class ResBlock(nn.Module):
 
 
 class Refine(nn.Module):
-    """Skip-connection refinement with 2x upsample (AFB_URR.py:114-127)."""
+    """Skip-connection refinement with 2x upsample (AFB_URR.py:114-127).
+
+    Split into :meth:`skip` (depends only on the skip features — identical
+    across the per-object copies the decoder runs on) and :meth:`refine`
+    (mixes in the per-object upstream map), so the caller can compute the
+    skip-side convs ONCE per batch and broadcast — (obj_n-1)/obj_n of the
+    convFS/ResFS work eliminated with an identical result and an unchanged
+    parameter tree."""
     features: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.convFS = nn.Conv(self.features, (3, 3), padding=1,
+                              dtype=self.dtype, kernel_init=_he)
+        self.ResFS = ResBlock(self.features, dtype=self.dtype)
+        self.ResMM = ResBlock(self.features, dtype=self.dtype)
+
+    def skip(self, f):
+        return self.ResFS(self.convFS(f))
+
+    def refine(self, s, pm):
+        return self.ResMM(s + _upsample2(pm))
+
     def __call__(self, f, pm):
-        s = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
-                    kernel_init=_he, name="convFS")(f)
-        s = ResBlock(self.features, dtype=self.dtype, name="ResFS")(s)
-        m = s + _upsample2(pm)
-        return ResBlock(self.features, dtype=self.dtype, name="ResMM")(m)
+        return self.refine(self.skip(f), pm)
 
 
 class EncoderM(nn.Module):
@@ -133,11 +147,21 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, patch_match, r3, r2, r1, bs: int, obj_n: int):
+        """patch_match [bs*obj_n, h16, w16, C]; skips r3/r2/r1 are PER-BATCH
+        [bs, ...] — their skip-side convs are object-independent, so they run
+        once per batch and broadcast to the bs*obj_n object copies."""
+        def per_obj(x):
+            return jnp.repeat(x[:, None], obj_n, axis=1).reshape(
+                (bs * obj_n,) + x.shape[1:])
+
         p = nn.Conv(self.mdim_global, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=_he, name="convFM")(patch_match)
         p = ResBlock(self.mdim_global, dtype=self.dtype, name="ResMM")(p)
-        p = Refine(self.mdim_global, dtype=self.dtype, name="RF3")(r3, p)   # 1/8
-        p = Refine(self.mdim_global, dtype=self.dtype, name="RF2")(r2, p)   # 1/4
+        rf3 = Refine(self.mdim_global, dtype=self.dtype, name="RF3")
+        rf2 = Refine(self.mdim_global, dtype=self.dtype, name="RF2")
+        p = rf3.refine(per_obj(rf3.skip(r3)), p)                             # 1/8
+        p = rf2.refine(per_obj(rf2.skip(r2)), p)                             # 1/4
+        r1 = per_obj(r1)
         p = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype, kernel_init=_he,
                     name="pred2")(nn.relu(p))
         p = _upsample2(p)                                                    # 1/2
@@ -236,11 +260,9 @@ class AFBURR(nn.Module):
         feat = jnp.concatenate([mem.astype(self.dtype), q_val], axis=-1)
         feat = feat.reshape(bs * obj_n, h16, w16, 2 * self.valdim)
 
-        def per_obj(x):
-            return jnp.repeat(x[:, None], obj_n, axis=1).reshape(
-                (bs * obj_n,) + x.shape[1:])
-
-        score = self.decoder(feat, per_obj(r3), per_obj(r2), per_obj(r1),
+        # skips stay per-batch: the decoder runs their object-independent
+        # convs once and broadcasts (see Decoder docstring).
+        score = self.decoder(feat, r3, r2, r1,
                              bs, obj_n)                  # [B, obj, H, W] probs
 
         if training:
