@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Microbench: reference-object detection throughput on device.
+
+The BASELINE.md config "reference-object seg on stills"
+(estimation/object_detection.py in the reference, Detectron2
+DefaultPredictor): times the jitted GeneralizedRCNN forward — PointRend
+X-101 (stop signs) and Keypoint R-CNN R-101 (people) — at the Detectron2
+operating size (short side 800), random weights.
+
+Timing uses a scalar-carry chain (each call consumes the previous call's
+checksum) because the axon relay dedupes repeated identical executions and
+resolves block_until_ready before remote completion; one float() at the end
+is the only D2H sync. The full host-level detector round-trip (preprocess +
+dispatch + D2H of boxes/masks) is timed separately per-call.
+"""
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+print = functools.partial(print, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vfloodnet_tpu.core.cache import enable_compilation_cache
+    from vfloodnet_tpu.models.detection import GeneralizedRCNN
+    from vfloodnet_tpu.models.detection.meta import (build_detector,
+                                                     keypoint_rcnn_config,
+                                                     preprocess_bgr,
+                                                     stopsign_rcnn_config)
+
+    enable_compilation_cache()
+    print("platform:", jax.devices()[0].platform)
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(1080, 1920, 3) * 255).astype(np.uint8)  # 1080p still
+
+    for name, cfg in (("pointrend_x101 (stopsign)", stopsign_rcnn_config()),
+                      ("keypoint_r101 (people)", keypoint_rcnn_config())):
+        model = GeneralizedRCNN(cfg)
+        init = jax.jit(lambda key, im, model=model:
+                       model.init(key, im, method=model.init_all))
+        t0 = time.time()
+        variables = init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)))
+        jax.block_until_ready(variables)
+        print(f"{name}: init {time.time() - t0:.1f}s")
+
+        detector = build_detector(cfg, variables)
+        padded, _ = preprocess_bgr(img, cfg.test_short_side,
+                                   cfg.test_max_side)
+        print(f"  input {padded.shape}")
+
+        # device-only forward, chained-carry timing
+        dev_vars = jax.device_put(variables)
+        dev_img = jax.device_put(padded)
+
+        @jax.jit
+        def fwd_sum(vs, im, carry):
+            out = model.apply(vs, im)
+            leaves = jax.tree_util.tree_leaves(out)
+            return carry + sum(jnp.sum(l).astype(jnp.float32)
+                               for l in leaves)
+
+        t0 = time.time()
+        c = fwd_sum(dev_vars, dev_img, jnp.float32(0))
+        float(c)
+        print(f"  compile+first call {time.time() - t0:.1f}s")
+        iters = 10
+        t0 = time.time()
+        c = jnp.float32(0)
+        for _ in range(iters):
+            c = fwd_sum(dev_vars, dev_img, c)
+        float(c)
+        ms = (time.time() - t0) / iters * 1000.0
+        print(f"  device forward     {ms:7.1f} ms/img ({1000.0/ms:.2f} fps)")
+
+        # full host round trip (preprocess + jit dispatch + D2H + paste)
+        inst = detector(img)                      # warm (compiles refine)
+        t0 = time.time()
+        for _ in range(5):
+            inst = detector(img)
+        ms = (time.time() - t0) / 5 * 1000.0
+        print(f"  host round-trip    {ms:7.1f} ms/img ({1000.0/ms:.2f} fps)"
+              f"  detections={len(inst)}")
+
+
+if __name__ == "__main__":
+    from vfloodnet_tpu.core.runtime import ensure_backend
+    ensure_backend()
+    main()
