@@ -188,7 +188,7 @@ def test_best_match_occ_matches_full():
     mag = jnp.linalg.norm(keys, axis=1)
     new, _ = _safe_normalize(jnp.asarray(rng.randn(m, d).astype(np.float32)))
     c_full, i_full = _best_match(keys, mag, valid, new, 4096)
-    c_occ, i_occ = _best_match_occ(keys, mag, valid, new, jnp.int32(occ))
+    c_occ, i_occ = _best_match_occ(keys, valid, new, jnp.int32(occ))
     np.testing.assert_allclose(np.asarray(c_occ), np.asarray(c_full),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i_occ), np.asarray(i_full))

@@ -104,23 +104,26 @@ def _best_match(bank_keys: jnp.ndarray, bank_mag: jnp.ndarray,
 OCC_CHUNK = 8192
 
 
-def _best_match_occ(bank_keys: jnp.ndarray, bank_mag: jnp.ndarray,
+def _best_match_occ(bank_keys: jnp.ndarray,
                     valid: jnp.ndarray, normed_new: jnp.ndarray,
                     occ_bound: jnp.ndarray,
                     chunk: int = OCC_CHUNK) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Occupancy-bounded running argmax: only the first
     ``ceil(occ_bound / chunk)`` bank chunks are correlated (traced trip
     count). Exact as long as no valid slot lies at index >= occ_bound (the
-    dense-prefix invariant); the in-chunk valid mask handles the rest."""
+    dense-prefix invariant); the in-chunk valid mask handles the rest.
+
+    Slot magnitudes are computed per visited chunk inside the loop (not
+    precomputed over the whole bank): keeps the update O(occupancy) with no
+    O(capacity) norm pass, and the pads below are no-ops when the bank
+    capacity is a multiple of ``chunk`` (FeatureBank rounds it up so)."""
     n, d = bank_keys.shape
     m = normed_new.shape[0]
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
-    inv_mag = jnp.where(valid, 1.0 / jnp.maximum(bank_mag, 1e-12), 0.0)
     keys_p = jnp.pad(bank_keys, ((0, pad), (0, 0)))
     valid_p = jnp.pad(valid, (0, pad))
-    inv_p = jnp.pad(inv_mag, (0, pad))
     mm_dtype = bank_keys.dtype
     new_mm = normed_new.astype(mm_dtype)
     n_iter = jnp.clip((occ_bound + chunk - 1) // chunk, 1, n_chunks)
@@ -130,7 +133,8 @@ def _best_match_occ(bank_keys: jnp.ndarray, bank_mag: jnp.ndarray,
         start = i * chunk
         k_c = jax.lax.dynamic_slice(keys_p, (start, 0), (chunk, d))
         ok = jax.lax.dynamic_slice(valid_p, (start,), (chunk,))
-        im = jax.lax.dynamic_slice(inv_p, (start,), (chunk,))
+        mag = jnp.linalg.norm(k_c.astype(jnp.float32), axis=1)
+        im = jnp.where(ok, 1.0 / jnp.maximum(mag, 1e-12), 0.0)
         corr = jax.lax.dot(new_mm, k_c.T,
                            preferred_element_type=jnp.float32)   # [M, chunk]
         corr = jnp.where(ok[None, :], corr * im[None, :], -2.0)
@@ -223,12 +227,12 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
 
     normed_new_k, _ = _safe_normalize(new_keys)
     normed_new_v, _ = _safe_normalize(new_values)
-    bank_mag_k = jnp.linalg.norm(keys.astype(jnp.float32), axis=1)
 
     if occ_bound is not None and n > OCC_CHUNK:
-        best_corr, best_idx = _best_match_occ(keys, bank_mag_k, valid,
+        best_corr, best_idx = _best_match_occ(keys, valid,
                                               normed_new_k, occ_bound)
     else:
+        bank_mag_k = jnp.linalg.norm(keys.astype(jnp.float32), axis=1)
         best_corr, best_idx = _best_match(keys, bank_mag_k, valid,
                                           normed_new_k, chunk)
     merge_mask = best_corr > thres_close
