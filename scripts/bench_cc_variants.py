@@ -8,39 +8,17 @@ size pick) plus variant sweeps, and reports fixpoint iteration counts.
 import functools
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _bench_timing import timeit  # noqa: E402  (chained-carry device timing)
+
 print = functools.partial(print, flush=True)
 
 H, W = 240, 427
 _INF = 2**30
-
-
-def timeit(fn, *args, iters=20):
-    """Chained-carry timing: the axon relay dedupes repeated identical
-    executions and resolves block_until_ready before remote completion, so
-    back-to-back identical calls measure ~0. Feeding a scalar carry from each
-    call into the next forces true serialization; one float() at the end is
-    the only D2H sync."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def step(carry, *a):
-        out = fn(*a)
-        leaves = jax.tree_util.tree_leaves(out)
-        return carry + sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
-
-    float(step(jnp.float32(0), *args))      # compile + warm
-    t0 = time.time()
-    c = jnp.float32(0)
-    for _ in range(iters):
-        c = step(c, *args)
-    float(c)
-    return (time.time() - t0) / iters * 1000.0
 
 
 def make_masks():

@@ -7,11 +7,10 @@ DefaultPredictor): times the jitted GeneralizedRCNN forward — PointRend
 X-101 (stop signs) and Keypoint R-CNN R-101 (people) — at the Detectron2
 operating size (short side 800), random weights.
 
-Timing uses a scalar-carry chain (each call consumes the previous call's
-checksum) because the axon relay dedupes repeated identical executions and
-resolves block_until_ready before remote completion; one float() at the end
-is the only D2H sync. The full host-level detector round-trip (preprocess +
-dispatch + D2H of boxes/masks) is timed separately per-call.
+Device timing uses the shared chained-carry helper (scripts/_bench_timing:
+the axon relay dedupes repeated identical executions). The full host-level
+detector round-trip (preprocess + dispatch + D2H of boxes/masks) is timed
+separately per-call.
 """
 
 import functools
@@ -22,6 +21,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _bench_timing import timeit  # noqa: E402
+
 print = functools.partial(print, flush=True)
 
 
@@ -56,28 +58,12 @@ def main():
                                    cfg.test_max_side)
         print(f"  input {padded.shape}")
 
-        # device-only forward, chained-carry timing
+        # device-only forward, chained-carry timing (shared helper)
         dev_vars = jax.device_put(variables)
         dev_img = jax.device_put(padded)
-
-        @jax.jit
-        def fwd_sum(vs, im, carry):
-            out = model.apply(vs, im)
-            leaves = jax.tree_util.tree_leaves(out)
-            return carry + sum(jnp.sum(l).astype(jnp.float32)
-                               for l in leaves)
-
         t0 = time.time()
-        c = fwd_sum(dev_vars, dev_img, jnp.float32(0))
-        float(c)
-        print(f"  compile+first call {time.time() - t0:.1f}s")
-        iters = 10
-        t0 = time.time()
-        c = jnp.float32(0)
-        for _ in range(iters):
-            c = fwd_sum(dev_vars, dev_img, c)
-        float(c)
-        ms = (time.time() - t0) / iters * 1000.0
+        ms = timeit(model.apply, dev_vars, dev_img, iters=10)
+        print(f"  compile+bench      {time.time() - t0:.1f}s")
         print(f"  device forward     {ms:7.1f} ms/img ({1000.0/ms:.2f} fps)")
 
         # full host round trip (preprocess + jit dispatch + D2H + paste)

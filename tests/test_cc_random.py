@@ -42,3 +42,21 @@ def test_cc_converges_fast_on_percolation():
     ref, n = ndimage.label(mask, structure=_STRUCT8)
     pairs = set(zip(out[mask == 1].tolist(), ref[mask == 1].tolist()))
     assert len(pairs) == n
+
+
+def test_cc_large_mask_overflow_fallback():
+    """Masks over the int32 offset-encoding bound ((max(h,w)+2)*(h*w+1) >=
+    2^31, ~1M px) must take the exact pair-scan path — the offset encoding
+    would silently wrap and corrupt labels (confirmed at 1200x1920)."""
+    h, w = 1100, 1920                      # (1922)*(2112001) >> 2^31
+    rng = np.random.RandomState(3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = (((yy - h * 0.55) ** 2 / (h * 0.4) ** 2
+             + (xx - w * 0.5) ** 2 / (w * 0.45) ** 2) < 1.0).astype(np.uint8)
+    mask |= (rng.rand(h, w) > 0.999)       # sprinkle small components
+    ours = np.asarray(connected_components(jnp.asarray(mask)))
+    ref, n_ref = ndimage.label(mask, structure=_STRUCT8)
+    ours_ids = ours[mask == 1]
+    ref_ids = ref[mask == 1]
+    pairs = set(zip(ours_ids.tolist(), ref_ids.tolist()))
+    assert len(pairs) == n_ref == len(set(np.unique(ours_ids)))

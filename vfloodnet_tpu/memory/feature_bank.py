@@ -10,10 +10,11 @@ device mesh along the capacity axis).
 Budget semantics mirror the reference (FeatureBank.py:20-22): per-class
 budget = memory_budget // obj_n, scaled by 0.8 when obj_n == 2; here it is
 additionally rounded up to a multiple of 128 for TPU lane alignment — and,
-for banks larger than one occ-chunk, to a multiple of the occupancy-bounded
-loop chunk (ops OCC_CHUNK), which makes every chunk-loop pad of the big
-key/value arrays a no-op (a non-multiple capacity costs an O(capacity) pad
-copy per read/update).
+for banks larger than one occ-chunk, rounded DOWN to a multiple of the
+occupancy-bounded loop chunk (ops OCC_CHUNK, never above the user's memory
+budget), which makes every chunk-loop pad of the big key/value arrays a
+no-op (a non-multiple capacity costs an O(capacity) pad copy per
+read/update).
 
 Telemetry (peak utilisation / replacement ratio, FeatureBank.py:145-149) is
 carried in the state and printable via :meth:`FeatureBank.report`.
@@ -73,8 +74,12 @@ class FeatureBank:
             class_budget = int(0.8 * class_budget)
         self.class_budget = _round_up(max(class_budget, 128), 128)
         if self.class_budget > OCC_CHUNK:
-            # align capacity to the occ-loop chunk: chunk pads become no-ops
-            self.class_budget = _round_up(self.class_budget, OCC_CHUNK)
+            # Align capacity to the occ-loop chunk so chunk pads become
+            # no-ops — rounding DOWN (never above the user's memory budget;
+            # at most 8191 slots stricter than the reference's exact budget).
+            self.class_budget = max(OCC_CHUNK,
+                                    (self.class_budget // OCC_CHUNK)
+                                    * OCC_CHUNK)
         self.update_rate = update_rate
         self.thres_close = thres_close
         self.keydim = keydim

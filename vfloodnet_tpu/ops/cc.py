@@ -40,15 +40,31 @@ def _sweep(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
     # (Sequential per-direction updates converge in fewer sweeps than
     # batching all four directions against the same input — measured
     # equal per-iteration cost on TPU, so sequential wins.)
+    # The offset encoding below needs (max line segments + 1) * base < 2^31
+    # with base = h*w + 1 (segment ids count background pixels along the
+    # scan line, so <= line length + 1). Static shape check; larger masks
+    # (~>1M px) take the exact (value, reset)-pair associative_scan instead —
+    # the encoding would silently wrap int32 and corrupt labels.
+    offset_safe = (max(h, w) + 2) * (h * w + 1) < 2**31
+
     def run_cummin(x, axis, reverse):
+        if not offset_safe:
+            # Segmented cummin via associative_scan on (value, reset) pairs.
+            def combine(a, b):
+                av, ar = a
+                bv, br = b
+                v = jnp.where(br, bv, jnp.minimum(av, bv))
+                return v, jnp.logical_or(ar, br)
+            vals = jnp.where(fg, x, _INF)
+            v, _ = jax.lax.associative_scan(combine, (vals, ~fg), axis=axis,
+                                            reverse=reverse)
+            return jnp.where(fg, v, _INF)
         # Segmented cummin (resets at background) via ONE cumsum + ONE
         # native cummax of single int32 arrays — measured ~15% faster on
-        # TPU than an associative_scan carrying (value, reset) pairs.
-        # Encoding: enc = seg_id*base + (base-1-label); within a segment the
-        # cummax selects the minimal label, and any earlier segment's enc is
-        # strictly below the current segment's base. int32-safe: seg_id <=
-        # line length + 1 and base = h*w+1, so enc < (W+2)*(h*w+1) << 2^31
-        # at the half-operating-res shapes this runs at.
+        # TPU than the pair associative_scan above. Encoding:
+        # enc = seg_id*base + (base-1-label); within a segment the cummax
+        # selects the minimal label, and any earlier segment's enc is
+        # strictly below the current segment's base.
         base = jnp.int32(h * w + 1)
         resets = (~fg).astype(jnp.int32)
         seg = jnp.cumsum(resets, axis=axis, dtype=jnp.int32)
