@@ -178,6 +178,47 @@ def test_attention_read_occ_bound_matches_full():
                                atol=1.0)
 
 
+def test_attention_read_occ_bf16_close_to_f32():
+    """The occ-bounded read keeps bf16 [P, chunk] intermediates for bf16
+    banks (HBM-traffic trade, same as the dense path) — results must stay
+    within the documented bf16 production tolerance of the f32 path."""
+    from vfloodnet_tpu.ops.attention import _xla_read_dense, _xla_read_occ
+    rng = np.random.RandomState(7)
+    n, dk, dv, p_n, occ = 20000, 16, 24, 40, 9000
+    keys = rng.randn(n, dk).astype(np.float32)
+    values = rng.randn(n, dv).astype(np.float32)
+    valid = jnp.asarray(np.arange(n) < occ)
+    q = jnp.asarray(rng.randn(p_n, dk).astype(np.float32))
+    m32, c32 = _xla_read_dense(jnp.asarray(keys), jnp.asarray(values),
+                               valid, q, 1e-3)
+    m16, c16 = _xla_read_occ(jnp.asarray(keys, jnp.bfloat16),
+                             jnp.asarray(values, jnp.bfloat16),
+                             valid, q, 1e-3, 8192, jnp.int32(occ))
+    err = np.abs(np.asarray(m16, np.float32) - np.asarray(m32))
+    scale = np.abs(np.asarray(m32)).mean()
+    assert err.mean() / scale < 0.05
+    assert np.abs(np.asarray(c16) - np.asarray(c32)).mean() < 2.0
+
+
+def test_best_match_occ_bf16_close_to_f32():
+    """bf16 correlation intermediates in the occ-bounded match: best-match
+    indices must agree with the f32 path for all but borderline ties."""
+    from vfloodnet_tpu.ops.bank_update import (_best_match, _best_match_occ,
+                                               _safe_normalize)
+    rng = np.random.RandomState(8)
+    n, d, m, occ = 20000, 16, 64, 9000
+    keys = rng.randn(n, d).astype(np.float32)
+    valid = jnp.asarray(np.arange(n) < occ)
+    mag = jnp.linalg.norm(jnp.asarray(keys), axis=1)
+    new, _ = _safe_normalize(jnp.asarray(rng.randn(m, d).astype(np.float32)))
+    c32, i32 = _best_match(jnp.asarray(keys), mag, valid, new, 4096)
+    c16, i16 = _best_match_occ(jnp.asarray(keys, jnp.bfloat16), valid,
+                               new.astype(jnp.bfloat16), jnp.int32(occ))
+    assert (np.asarray(i16) == np.asarray(i32)).mean() > 0.9
+    np.testing.assert_allclose(np.asarray(c16), np.asarray(c32),
+                               rtol=0.02, atol=0.02)
+
+
 def test_best_match_occ_matches_full():
     from vfloodnet_tpu.ops.bank_update import (_best_match, _best_match_occ,
                                                _safe_normalize)

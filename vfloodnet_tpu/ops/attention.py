@@ -143,6 +143,11 @@ def _xla_read_occ(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray,
 
     ``occ_bound`` must be unbatched under vmap (pass ``max`` over objects) so
     the loop lowers to a single shared-trip-count while_loop.
+
+    For bf16 banks the [P, chunk] score/exp intermediates stay bf16 (same
+    HBM-traffic trade as ``_xla_read_dense``: the read is bandwidth-bound and
+    the ~0.5% softmax-weight noise is within the documented bf16 production
+    tolerance); the running max / normaliser / accumulator stay f32.
     """
     n, dk = keys.shape
     dv = values.shape[1]
@@ -157,6 +162,7 @@ def _xla_read_occ(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray,
     valid_p = jnp.pad(valid, (0, pad_n - n))
 
     mm_dtype = keys.dtype
+    big_dtype = mm_dtype if mm_dtype == jnp.bfloat16 else jnp.float32
     q_mm = q.astype(mm_dtype)
     n_iter = jnp.clip((occ_bound + chunk - 1) // chunk, 1, n_chunks)
 
@@ -165,17 +171,19 @@ def _xla_read_occ(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray,
         k_c = jax.lax.dynamic_slice(keys_p, (start, 0), (chunk, dk))
         ok = jax.lax.dynamic_slice(valid_p, (start,), (chunk,))
         s = jax.lax.dot(q_mm, k_c.T,
-                        preferred_element_type=jnp.float32) * scale
-        return jnp.where(ok[None, :], s, NEG_INF), start, ok
+                        preferred_element_type=big_dtype) * \
+            jnp.asarray(scale, big_dtype)
+        return jnp.where(ok[None, :], s,
+                         jnp.asarray(NEG_INF, big_dtype)), start, ok
 
     def body1(i, carry):
         m, l, acc = carry
         s, start, _ = scores(i)
         v_c = jax.lax.dynamic_slice(values_p, (start, 0), (chunk, dv))
-        m_new = jnp.maximum(m, jnp.max(s, axis=1))
+        m_new = jnp.maximum(m, jnp.max(s, axis=1).astype(jnp.float32))
         alpha = jnp.exp(m - m_new)
-        e = jnp.exp(s - m_new[:, None])
-        l_new = l * alpha + jnp.sum(e, axis=1)
+        e = jnp.exp(s - m_new[:, None].astype(big_dtype))
+        l_new = l * alpha + jnp.sum(e, axis=1, dtype=jnp.float32)
         pv = jax.lax.dot(e.astype(mm_dtype), v_c,
                          preferred_element_type=jnp.float32)
         return m_new, l_new, acc * alpha[:, None] + pv
@@ -187,7 +195,7 @@ def _xla_read_occ(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray,
     l_safe = jnp.maximum(l, 1e-30)
     mem = acc / l_safe[:, None]
 
-    log_thres = jnp.log(thres) + jnp.log(l_safe) + m               # [P]
+    log_thres = (jnp.log(thres) + jnp.log(l_safe) + m).astype(big_dtype)
 
     def body2(i, cnt):
         s, start, ok = scores(i)

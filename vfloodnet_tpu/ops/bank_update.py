@@ -116,7 +116,10 @@ def _best_match_occ(bank_keys: jnp.ndarray,
     Slot magnitudes are computed per visited chunk inside the loop (not
     precomputed over the whole bank): keeps the update O(occupancy) with no
     O(capacity) norm pass, and the pads below are no-ops when the bank
-    capacity is a multiple of ``chunk`` (FeatureBank rounds it up so)."""
+    capacity is a multiple of ``chunk`` (FeatureBank rounds it up so).
+
+    For bf16 banks the [M, chunk] correlation intermediate stays bf16 (same
+    HBM-traffic trade as the dense ``_best_match`` above)."""
     n, d = bank_keys.shape
     m = normed_new.shape[0]
     chunk = min(chunk, n)
@@ -125,6 +128,7 @@ def _best_match_occ(bank_keys: jnp.ndarray,
     keys_p = jnp.pad(bank_keys, ((0, pad), (0, 0)))
     valid_p = jnp.pad(valid, (0, pad))
     mm_dtype = bank_keys.dtype
+    big_dtype = mm_dtype if mm_dtype == jnp.bfloat16 else jnp.float32
     new_mm = normed_new.astype(mm_dtype)
     n_iter = jnp.clip((occ_bound + chunk - 1) // chunk, 1, n_chunks)
 
@@ -136,11 +140,12 @@ def _best_match_occ(bank_keys: jnp.ndarray,
         mag = jnp.linalg.norm(k_c.astype(jnp.float32), axis=1)
         im = jnp.where(ok, 1.0 / jnp.maximum(mag, 1e-12), 0.0)
         corr = jax.lax.dot(new_mm, k_c.T,
-                           preferred_element_type=jnp.float32)   # [M, chunk]
-        corr = jnp.where(ok[None, :], corr * im[None, :], -2.0)
+                           preferred_element_type=big_dtype)     # [M, chunk]
+        corr = jnp.where(ok[None, :], corr * im[None, :].astype(big_dtype),
+                         jnp.asarray(-2.0, big_dtype))
         local_best = jnp.argmax(corr, axis=1)
         local_val = jnp.take_along_axis(corr, local_best[:, None],
-                                        axis=1)[:, 0]
+                                        axis=1)[:, 0].astype(jnp.float32)
         better = local_val > best_corr
         best_idx = jnp.where(better,
                              start + local_best.astype(jnp.int32), best_idx)
