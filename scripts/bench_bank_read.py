@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--dv", type=int, default=512)
     ap.add_argument("--valid_frac", type=float, default=0.7)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--pallas", action="store_true",
+                    help="include the Pallas kernel (its remote compile has "
+                         "hung >45 min at production shapes on this relay — "
+                         "opt-in only)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +77,12 @@ def main():
     ref_mem = np.asarray(ref_mem, np.float32)
     print("reference done")
 
+    from vfloodnet_tpu.ops.attention import _xla_read_occ
+
+    def occ_variant(chunk, occ, count=True):
+        return jax.jit(lambda k, v, ok, qq: _xla_read_occ(
+            k, v, ok, qq, 1e-3, chunk, jnp.int32(occ), count=count))
+
     cands = {
         "dense_bf16": jax.jit(
             lambda k, v, ok, qq: bank_attention_read(k, v, ok, qq,
@@ -80,8 +90,18 @@ def main():
         "chunked_bf16": jax.jit(
             lambda k, v, ok, qq: bank_attention_read(k, v, ok, qq,
                                                      impl="xla")),
-        "pallas_bf16": lambda k, v, ok, qq: pallas_bank_read(k, v, ok, qq),
+        # production path (occ-bounded fori_loop) at full occupancy, over
+        # candidate chunk sizes, plus a no-count variant to attribute the
+        # usage-count sweep's share
+        "occ_c8k_full": occ_variant(8192, args.n),
+        "occ_c16k_full": occ_variant(16384, args.n),
+        "occ_c32k_full": occ_variant(32768, args.n),
+        "occ_c8k_nocnt": occ_variant(8192, args.n, count=False),
+        "occ_c8k_1frame": occ_variant(8192, 1620),
     }
+    if args.pallas:
+        cands["pallas_bf16"] = (
+            lambda k, v, ok, qq: pallas_bank_read(k, v, ok, qq))
     flops = 2.0 * args.p * args.n * (args.dk + args.dv) * 2  # read+count
     for name, fn in cands.items():
         try:

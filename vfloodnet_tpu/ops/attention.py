@@ -129,7 +129,8 @@ def _xla_read_dense(keys: jnp.ndarray, values: jnp.ndarray,
 
 def _xla_read_occ(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray,
                   q: jnp.ndarray, thres: float, chunk: int,
-                  occ_bound: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  occ_bound: jnp.ndarray,
+                  count: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Occupancy-bounded read: identical semantics to the full read, but only
     the first ``ceil(occ_bound / chunk)`` bank chunks are visited (a traced
     trip count — no recompiles as the bank fills).
@@ -194,6 +195,9 @@ def _xla_read_occ(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray,
     m, l, acc = jax.lax.fori_loop(0, n_iter, body1, init)
     l_safe = jnp.maximum(l, 1e-30)
     mem = acc / l_safe[:, None]
+
+    if not count:   # microbench-only: attribute the usage-count sweep's cost
+        return mem.astype(values.dtype), jnp.zeros((n,), jnp.float32)
 
     log_thres = (jnp.log(thres) + jnp.log(l_safe) + m).astype(big_dtype)
 
