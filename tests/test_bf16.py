@@ -7,6 +7,7 @@ import numpy as np
 from vfloodnet_tpu.memory import FeatureBank
 from vfloodnet_tpu.models import AFBURR
 from vfloodnet_tpu.ops.attention import _xla_read
+from vfloodnet_tpu.pipelines.loaders import cast_floating_params
 
 
 def test_attention_read_bf16_close_to_f32():
@@ -58,3 +59,28 @@ def test_afb_urr_bf16_mask_agreement():
     a, b = preds["float32"], preds["bfloat16"]
     agreement = (a == b).mean()
     assert agreement > 0.97, agreement
+
+
+def test_cast_floating_params_identity():
+    """Pre-cast kernels (pipelines/loaders.py::cast_floating_params) must be
+    BITWISE identical to flax's per-apply f32→bf16 promotion, and must leave
+    1-D leaves (FrozenBN stats/affine, biases) in f32."""
+    rng = np.random.RandomState(2)
+    model = AFBURR(read_chunk=256, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((64, 48, 3)),
+                           jnp.zeros((2, 64, 48)), method=model.init_all)
+    cast = cast_floating_params(variables, jnp.bfloat16)
+
+    leaves = jax.tree.leaves(cast)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves if l.ndim >= 2)
+    assert all(l.dtype == jnp.float32 for l in leaves if l.ndim < 2)
+
+    frame = jnp.asarray(rng.rand(64, 48, 3), jnp.float32)
+    mask = jnp.zeros((2, 64, 48)).at[1, 16:48, 8:40].set(1.0)
+    mask = mask.at[0].set(1.0 - mask[1])
+    k_a, v_a = model.apply(variables, frame, mask, method=model.memorize)
+    k_b, v_b = model.apply(cast, frame, mask, method=model.memorize)
+    np.testing.assert_array_equal(np.asarray(k_a, np.float32),
+                                  np.asarray(k_b, np.float32))
+    np.testing.assert_array_equal(np.asarray(v_a, np.float32),
+                                  np.asarray(v_b, np.float32))

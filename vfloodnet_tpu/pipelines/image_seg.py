@@ -32,6 +32,10 @@ MODEL_DIMS = (416, 416)  # reference test_image_seg.py:79
 def _build_pipeline(model, variables, postprocess: bool = True):
     """Single-image fully-device path (resize-in, forward, resize-back,
     threshold, largest-CC) — used when masks must stay device-resident."""
+    if getattr(model, "dtype", jnp.float32) != jnp.float32:
+        from .loaders import cast_floating_params
+        variables = cast_floating_params(variables, model.dtype)
+
     @jax.jit
     def run(img01: jnp.ndarray):
         x = ops.resize(img01[None], MODEL_DIMS, "bilinear", antialias=True)
@@ -92,6 +96,10 @@ def run_image_segmentation(test_path: str, test_name: str,
                        + glob(os.path.join(test_path, "*.png")))
 
     b = max(1, min(batch_size, len(paths)))
+
+    if getattr(model, "dtype", jnp.float32) != jnp.float32:
+        from .loaders import cast_floating_params
+        variables = cast_floating_params(variables, model.dtype)
 
     @jax.jit
     def forward(batch01):                              # [B, 416, 416, 3]

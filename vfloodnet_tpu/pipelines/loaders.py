@@ -47,3 +47,23 @@ def load_afb_urr(model_path: Optional[str] = None,
                       "using random initialisation (smoke mode).")
         variables = _random_init()
     return model, variables
+
+
+def cast_floating_params(variables, dtype):
+    """Pre-cast conv/dense kernels (floating leaves with ndim >= 2) to the
+    compute ``dtype`` — once, at engine build.
+
+    Flax promotes kernels to the module's compute dtype inside every apply
+    (``flax.linen.dtypes.promote_dtype``), so for a bf16 inference engine
+    this is numerically identical while halving the per-step weight HBM
+    read (the f32 masters stay with the caller for checkpointing/training).
+    1-D leaves — biases, FrozenBN scale/bias/running stats — are kept f32:
+    FrozenBN deliberately normalises in f32 (models/resnet.py:22-36), and
+    they are a negligible fraction of the weight bytes.
+    """
+    def _cast(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 2 and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(_cast, variables)

@@ -31,6 +31,7 @@ from ..memory import FeatureBank, FeatureBankState
 from ..models import AFBURR
 from ..utils import (COLOR_PALETTE, FrameSecondMeter, gct, load_image,
                      load_mask, save_overlay, save_seg_mask)
+from .loaders import cast_floating_params
 
 
 def to_onehot(mask: np.ndarray, obj_n: int) -> np.ndarray:
@@ -144,6 +145,8 @@ class VideoSegEngine:
                  downsample: int = 480, postprocess="auto",
                  memorize_every: int = 1, cc_scale: int = 2):
         self.model = model
+        if model.dtype != jnp.float32:     # see cast_floating_params
+            variables = cast_floating_params(variables, model.dtype)
         self.variables = variables
         self.fb = fb
         self.downsample = downsample

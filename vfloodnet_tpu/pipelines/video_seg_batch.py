@@ -25,6 +25,7 @@ import numpy as np
 from .. import ops
 from ..memory import FeatureBank, FeatureBankState
 from ..models import AFBURR
+from .loaders import cast_floating_params
 from .video_seg import (device_largest_cc, pack_bits, resolve_postprocess,
                         to_onehot, unpack_bits)
 
@@ -40,6 +41,8 @@ class BatchVideoSegEngine:
     def __init__(self, model: AFBURR, variables, fb: FeatureBank,
                  batch: int, downsample: int = 480, postprocess="auto"):
         self.model = model
+        if model.dtype != jnp.float32:     # see cast_floating_params
+            variables = cast_floating_params(variables, model.dtype)
         self.variables = variables
         self.fb = fb
         self.batch = batch

@@ -33,6 +33,9 @@ class ShardedVideoSegEngine:
     def __init__(self, model: AFBURR, variables, fb: FeatureBank, mesh,
                  downsample: int = 480):
         self.model = model
+        if model.dtype != jnp.float32:     # see cast_floating_params
+            from .loaders import cast_floating_params
+            variables = cast_floating_params(variables, model.dtype)
         self.variables = variables
         self.fb = fb
         self.mesh = mesh
