@@ -30,8 +30,10 @@ MEASURE_FRAMES = 40
 # The dev box reaches the chip through a shared relay whose load varies
 # run-to-run (measured 4x swings on identical code); each throughput stage
 # runs REPEATS times and reports the best, which estimates the uncontended
-# number a real TPU host would see.
-REPEATS = 2
+# number a real TPU host would see. Each extra repeat costs ~2-3 s warm
+# (everything is compile-cached after the first pass), so more repeats are
+# nearly free noise control.
+REPEATS = int(os.environ.get("VFLOOD_BENCH_REPEATS", "4"))
 
 
 def main():
@@ -253,20 +255,25 @@ def measure_batched(model, variables, budget, res_hw, operating,
             save_seg_mask(labs[vi], f"{tmpdir}/{vi}_{t:05d}.png")
 
     n_steps = max(4, n_measure // streams)
-    writes, pending = [], None
-    t0 = time.time()
-    for t in range(n_steps):
-        state, labels = engine.step(state, frames[t % len(frames)], t + 3)
-        labels.copy_to_host_async()
-        if pending is not None:
-            writes.append(writer.submit(_flush, *pending))
-        pending = (t, labels)
-    _flush(*pending)
-    for w in writes:
-        w.result()
-    total = time.time() - t0
+    best = 0.0
+    t_base = 3
+    for _ in range(REPEATS):            # best-of: relay-noise control
+        writes, pending = [], None
+        t0 = time.time()
+        for t in range(n_steps):
+            state, labels = engine.step(state, frames[t % len(frames)],
+                                        t_base + t)
+            labels.copy_to_host_async()
+            if pending is not None:
+                writes.append(writer.submit(_flush, *pending))
+            pending = (t, labels)
+        _flush(*pending)
+        for w in writes:
+            w.result()
+        best = max(best, n_steps * streams / (time.time() - t0))
+        t_base += n_steps
     writer.shutdown()
-    return n_steps * streams / total
+    return best
 
 
 if __name__ == "__main__":

@@ -61,7 +61,12 @@ class BatchVideoSegEngine:
         def _step(state: FeatureBankState, frames_u8, frame_idx):
             """frames_u8 [B, H, W, 3] uint8; state arrays carry a leading
             [B] stream axis."""
-            frames = frames_u8.astype(jnp.float32) / 255.0
+            # Prep in the model's compute dtype (see VideoSegEngine._step):
+            # for bf16 production the B-stream 1080p normalize + bicubic
+            # downsample halves its HBM traffic, and the encoders cast the
+            # frames to bf16 anyway.
+            cd = model.dtype
+            frames = frames_u8.astype(cd) / jnp.asarray(255.0, cd)
             small_hw = ops.short_side_size(*frames_u8.shape[1:3],
                                            self.downsample)
             frames_small = ops.resize(frames, small_hw, "bicubic",
@@ -101,7 +106,9 @@ class BatchVideoSegEngine:
             if self.fb.obj_n == 2:
                 # binary: upsample the single difference channel (argmax over
                 # {bg, fg} == sign(fg - bg); bicubic is linear)
-                diff = preds[:, 1] - preds[:, 0]
+                # The upsample only feeds a sign test, so it runs in the
+                # compute dtype too (see VideoSegEngine._step).
+                diff = (preds[:, 1] - preds[:, 0]).astype(cd)
                 up = ops.resize(diff, full_hw, "bicubic",
                                 spatial_axes=(-2, -1))
                 labels = (up > 0).astype(jnp.uint8)             # [B, H, W]
