@@ -33,13 +33,14 @@ def test_sharded_update_matches_reference_semantics():
         jnp.asarray(birth), jnp.asarray(usage), jnp.asarray(nk),
         jnp.asarray(nv), jnp.float32(5.0))
 
-    sk, sv, sok, sb, su = sharded_bank_merge_append(
+    sk, sv, sok, sb, su, sev = sharded_bank_merge_append(
         mesh, jnp.asarray(keys), jnp.asarray(values), jnp.asarray(valid),
         jnp.asarray(birth), jnp.asarray(usage), jnp.asarray(nk),
         jnp.asarray(nv), 5.0)
 
     # identical number of live slots and identical merged slot contents
     assert int(jnp.sum(sok)) == int(jnp.sum(rok))
+    assert int(sev) == 0          # plenty of free slots: nothing evicted
     # the merged slots (first m//4 were near-duplicates of slots 0..m//4)
     np.testing.assert_allclose(np.asarray(sk)[:16], np.asarray(rk)[:16],
                                rtol=1e-4, atol=1e-5)
@@ -64,7 +65,7 @@ def test_sharded_update_eviction_prefers_free_then_lfu():
     nv = rng.randn(m, dv).astype(np.float32)
 
     mesh = make_mesh((1, 8))
-    sk, sv, sok, sb, su = sharded_bank_merge_append(
+    sk, sv, sok, sb, su, sev = sharded_bank_merge_append(
         mesh, jnp.asarray(keys), jnp.asarray(values), jnp.asarray(valid),
         jnp.asarray(birth), jnp.asarray(usage), jnp.asarray(nk),
         jnp.asarray(nv), 10.0)
@@ -72,3 +73,5 @@ def test_sharded_update_eviction_prefers_free_then_lfu():
     # victims must be among the globally lowest-usage slots
     assert len(overwritten) >= m - 4  # allow a few merges
     assert usage[overwritten].max() <= np.sort(usage)[m + 4]
+    # every overwritten slot was valid -> counted as evicted
+    assert int(sev) == len(overwritten)

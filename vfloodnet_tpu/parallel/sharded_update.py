@@ -38,8 +38,10 @@ def sharded_bank_merge_append(mesh, keys, values, valid, birth, usage,
     """Distributed bank update. keys/values/valid/birth/usage sharded on the
     capacity axis over ``model``; new_keys/new_values [M, d] replicated.
 
-    Returns updated (keys, values, valid, birth, usage) with the same
-    shardings.
+    Returns updated (keys, values, valid, birth, usage, evicted_n) with the
+    same shardings; ``evicted_n`` is a replicated i32 scalar counting
+    previously-valid slots overwritten by appends (feeds the bank's
+    replacement-ratio telemetry, reference FeatureBank.py:141).
     """
     m = new_keys.shape[0]
     n_total = keys.shape[0]
@@ -109,13 +111,18 @@ def sharded_bank_merge_append(mesh, keys, values, valid, birth, usage,
         dest = jnp.where(jnp.logical_and(append_mask, mine), dest_local,
                          n_local)
 
+        evicted_local = jnp.sum(jnp.where(
+            jnp.logical_and(dest < n_local, append_mask),
+            valid[jnp.clip(dest, 0, n_local - 1)], False).astype(jnp.int32))
+        evicted_n = jax.lax.psum(evicted_local, MODEL_AXIS)   # replicated
+
         keys = keys.at[dest].set(nk.astype(keys.dtype), mode="drop")
         values = values.at[dest].set(nv.astype(values.dtype), mode="drop")
         birth = birth.at[dest].set(fi, mode="drop")
         usage = usage.at[dest].set(0.0, mode="drop")
         valid = valid.at[dest].set(True, mode="drop")
         usage = jnp.clip(usage, 0.0, 1e5)
-        return keys, values, valid, birth, usage
+        return keys, values, valid, birth, usage, evicted_n
 
     spec2d = P(MODEL_AXIS, None)
     spec1d = P(MODEL_AXIS)
@@ -123,5 +130,5 @@ def sharded_bank_merge_append(mesh, keys, values, valid, birth, usage,
     fn = shard_map(kernel, mesh=mesh,
                    in_specs=(spec2d, spec2d, spec1d, spec1d, spec1d,
                              rep2d, rep2d),
-                   out_specs=(spec2d, spec2d, spec1d, spec1d, spec1d))
+                   out_specs=(spec2d, spec2d, spec1d, spec1d, spec1d, P()))
     return fn(keys, values, valid, birth, usage, new_keys, new_values)

@@ -2,18 +2,37 @@
 
 Combines the distributed bank read (parallel/sharded_read.py) and update
 (parallel/sharded_update.py) with the AFB-URR encode/decode halves
-(models/afb_urr.py encode_query / decode_with_memory) into a per-frame engine
-whose bank capacity scales with the number of chips — the sequence/context
-parallelism story for unbounded video length (SURVEY.md §2.4).
+(models/afb_urr.py encode_query / decode_with_memory) into a per-frame
+engine whose bank capacity scales with the number of chips — the
+sequence/context parallelism story for unbounded video length (SURVEY.md
+§2.4).
 
-The encoders/decoder run replicated (they are small per frame); the O(N)
-work — attention read, cosine match, merge/evict — is sharded over the
-``model`` axis and combined with ICI collectives.
+Production-shaped like the single-device engine (video_seg.py):
+
+- the ENTIRE per-frame transition — frame prep, query encode, per-object
+  sharded read, decode, memory encode, per-object sharded merge/append/
+  evict, usage + occupancy/peak/replacement telemetry, full-res label (+
+  optional device CC cleanup, bit-packing) — is ONE jitted graph per
+  frame; the shard_map sections run inside it and their collectives ride
+  ICI;
+- encoders/decoder run replicated (small per frame); all O(capacity) bank
+  work is sharded over the ``model`` axis;
+- a streaming CLI loop (:func:`run_video_segmentation_sharded`) with
+  prefetch/writer thread overlap mirrors ``run_video_segmentation``.
+
+Telemetry semantics: the dense-prefix invariant cannot hold across shards
+(appends land on each shard's cheapest slots), so ``occ`` tracks the total
+valid-slot count (used for peak utilisation), and reads/matches span the
+full capacity with validity masks.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+import os
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+from glob import glob
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,14 +43,20 @@ from ..memory import FeatureBank, FeatureBankState
 from ..models import AFBURR
 from ..parallel import (shard_bank_state, sharded_bank_attention_read,
                         sharded_bank_merge_append)
-from .video_seg import to_onehot
+from .video_seg import (device_largest_cc, pack_bits, resolve_postprocess,
+                        to_onehot, unpack_bits)
 
 
 class ShardedVideoSegEngine:
-    """Per-frame propagation with the bank sharded over mesh axis 'model'."""
+    """Per-frame propagation with the bank sharded over mesh axis 'model'.
+
+    One dispatch per frame: the full transition is a single jit containing
+    the shard_map read/update sections.
+    """
 
     def __init__(self, model: AFBURR, variables, fb: FeatureBank, mesh,
-                 downsample: int = 480):
+                 downsample: int = 480, postprocess="none",
+                 cc_scale: int = 2):
         self.model = model
         if model.dtype != jnp.float32:     # see cast_floating_params
             from .loaders import cast_floating_params
@@ -40,19 +65,102 @@ class ShardedVideoSegEngine:
         self.fb = fb
         self.mesh = mesh
         self.downsample = downsample
+        self.postprocess = resolve_postprocess(postprocess)
+        self.cc_scale = int(cc_scale)
+        self.full_hw = None
 
-        self._encode = jax.jit(lambda f: model.apply(
-            variables, f, method=model.encode_query))
-        self._decode = jax.jit(lambda mem, v4, skips, hw16, pad: model.apply(
-            variables, mem, v4, skips, hw16, pad, False,
-            method=model.decode_with_memory),
-            static_argnums=(3, 4))
-        self._memorize = jax.jit(lambda f, m: model.apply(
+        self._init_bank = jax.jit(lambda f, m: model.apply(
             variables, f, m, method=model.memorize))
+
+        pack = fb.obj_n == 2
+
+        @partial(jax.jit, donate_argnums=0)
+        def _step(state: FeatureBankState, frame_u8, frame_idx):
+            cd = model.dtype
+            frame_full = frame_u8.astype(cd) / jnp.asarray(255.0, cd)
+            small_hw = ops.short_side_size(*frame_u8.shape[:2],
+                                           self.downsample)
+            frame_small = ops.resize(frame_full, small_hw, "bicubic",
+                                     spatial_axes=(0, 1))
+
+            # -- replicated query encode --------------------------------
+            k4, v4, skips, hw16, pad = model.apply(
+                variables, frame_small[None], method=model.encode_query)
+            q = k4[0].astype(jnp.float32)
+
+            # -- sharded per-object bank read (collectives over ICI) -----
+            mems, cnts = [], []
+            for o in range(fb.obj_n):          # static tiny loop
+                mem_o, cnt_o = sharded_bank_attention_read(
+                    self.mesh, state.keys[o], state.values[o],
+                    state.valid[o], q, thres=model.thres_valid)
+                mems.append(mem_o)
+                cnts.append(cnt_o)
+            mem = jnp.stack(mems)[None]        # [1, obj, P, dv]
+            cnt = jnp.stack(cnts)              # [obj, N] (sharded)
+
+            score, _ = model.apply(variables, mem, v4, skips, hw16, pad,
+                                   False, method=model.decode_with_memory)
+            pred = jax.nn.softmax(score, axis=1)          # [1, obj, h, w]
+
+            nk, nv = model.apply(variables, frame_small, pred[0],
+                                 method=model.memorize)
+
+            # -- usage bookkeeping (reference AFB_URR.py:174) -------------
+            usage = state.usage + jnp.log1p(cnt)
+            usage = jnp.where(state.valid, jnp.clip(usage, 0.0, 1e5), 0.0)
+            state = state.replace(usage=usage)
+
+            # -- sharded per-object merge/append/evict --------------------
+            cols, evicted = [], []
+            for o in range(fb.obj_n):
+                ks, vs, ok, bi, us, ev = sharded_bank_merge_append(
+                    self.mesh, state.keys[o], state.values[o],
+                    state.valid[o], state.birth[o], state.usage[o],
+                    nk[o], nv[o], frame_idx,
+                    update_rate=fb.update_rate,
+                    thres_close=fb.thres_close)
+                cols.append((ks, vs, ok, bi, us))
+                evicted.append(ev)
+            valid = jnp.stack([c[2] for c in cols])
+            occ = jnp.sum(valid, axis=1).astype(jnp.int32)   # total count
+            state = FeatureBankState(
+                keys=jnp.stack([c[0] for c in cols]),
+                values=jnp.stack([c[1] for c in cols]),
+                valid=valid,
+                birth=jnp.stack([c[3] for c in cols]),
+                usage=jnp.stack([c[4] for c in cols]),
+                peak_n=jnp.maximum(state.peak_n, occ),
+                replace_n=state.replace_n + jnp.stack(evicted),
+                occ=occ,
+            )
+
+            # -- full-res label (same tail as the single-device engine) ---
+            full_hw = frame_u8.shape[:2]
+            if fb.obj_n == 2:
+                diff = (pred[0, 1] - pred[0, 0]).astype(cd)
+                up = ops.resize(diff, full_hw, "bicubic",
+                                spatial_axes=(-2, -1))
+                label_full = (up > 0).astype(jnp.uint8)
+                label_small = (diff > 0).astype(jnp.uint8)
+            else:
+                up = ops.resize(pred[0], full_hw, "bicubic",
+                                spatial_axes=(-2, -1))
+                label_full = jnp.argmax(up, axis=0).astype(jnp.uint8)
+                label_small = jnp.argmax(pred[0], axis=0).astype(jnp.uint8)
+            if self.postprocess == "device":   # static at trace time
+                label_full = device_largest_cc(label_full, label_small,
+                                               scale=self.cc_scale)
+            if pack:
+                label_full = pack_bits(label_full)
+            return state, label_full
+
+        self._step = _step
 
     def bootstrap(self, first_frame: np.ndarray,
                   first_mask: np.ndarray) -> FeatureBankState:
         first_frame = np.asarray(first_frame)
+        self.full_hw = first_frame.shape[:2]
         if first_frame.dtype == np.uint8:
             first_frame = first_frame.astype(np.float32) / 255.0
         small_hw = ops.short_side_size(*first_frame.shape[:2],
@@ -62,62 +170,126 @@ class ShardedVideoSegEngine:
         mask = ops.resize(jax.device_put(to_onehot(first_mask,
                                                    self.fb.obj_n)),
                           small_hw, "nearest", spatial_axes=(-2, -1))
-        k4, v4 = self._memorize(frame, mask)
+        k4, v4 = self._init_bank(frame, mask)
         state = self.fb.init_bank(k4, v4)
         return shard_bank_state(self.mesh, state)
 
-    def step(self, state: FeatureBankState, frame: np.ndarray,
-             frame_idx: int) -> Tuple[FeatureBankState, jnp.ndarray]:
+    def upload(self, frame: np.ndarray) -> jnp.ndarray:
         frame = np.asarray(frame)
-        if frame.dtype == np.uint8:
-            frame = frame.astype(np.float32) / 255.0
-        small_hw = ops.short_side_size(*frame.shape[:2], self.downsample)
-        frame_small = ops.resize(jax.device_put(frame), small_hw, "bicubic",
-                                 spatial_axes=(0, 1))
+        if frame.dtype != np.uint8:
+            frame = (frame * 255.0 + 0.5).astype(np.uint8)
+        return jax.device_put(frame)
 
-        k4, v4, skips, _, _ = self._encode(frame_small[None])
-        # static shape metadata recomputed host-side (the jitted encode
-        # returns traced values, but these drive static decode shapes)
-        from ..ops.pad import pad_amounts
-        top, bottom, left, right = pad_amounts(*small_hw, 16)
-        hw16 = ((small_hw[0] + top + bottom) // 16,
-                (small_hw[1] + left + right) // 16)
-        pad = (top, bottom, left, right)
+    def step(self, state: FeatureBankState, frame,
+             frame_idx: int) -> Tuple[FeatureBankState, jnp.ndarray]:
+        """One frame -> (state, full-res uint8 label handle, bit-packed for
+        binary masks)."""
+        if not isinstance(frame, jax.Array):
+            frame = self.upload(frame)
+        return self._step(state, frame, jnp.float32(frame_idx))
 
-        mems, cnts = [], []
-        q = k4[0].astype(jnp.float32)
-        for o in range(self.fb.obj_n):        # static loop; obj_n is 2-3
-            mem_o, cnt_o = sharded_bank_attention_read(
-                self.mesh, state.keys[o], state.values[o], state.valid[o],
-                q, thres=self.model.thres_valid)
-            mems.append(mem_o)
-            cnts.append(cnt_o)
-        mem = jnp.stack(mems)[None]           # [1, obj, P, dv]
-        cnt = jnp.stack(cnts)                 # [obj, N] (sharded)
+    def fetch_label(self, label) -> np.ndarray:
+        arr = np.asarray(jax.device_get(label))
+        if self.fb.obj_n == 2 and self.full_hw is not None:
+            arr = unpack_bits(arr, self.full_hw[1])
+        return arr
 
-        score, _ = self._decode(mem, v4, skips, hw16, pad)
-        pred = jax.nn.softmax(score, axis=1)  # [1, obj, h, w]
 
-        nk, nv = self._memorize(frame_small, pred[0])
+def run_video_segmentation_sharded(test_path: str, test_name: str, mesh,
+                                   out_dir: str = "./output/segs",
+                                   model: Optional[AFBURR] = None,
+                                   variables=None,
+                                   budget: int = 250_000,
+                                   downsample: int = 480,
+                                   viz: bool = True,
+                                   postprocess="auto",
+                                   first_mask_path: Optional[str] = None,
+                                   ) -> dict:
+    """Streaming multi-chip propagation over a frame directory — the
+    bank-sharded counterpart of ``run_video_segmentation`` with the same
+    output tree and overlapped decode/write pools."""
+    from ..utils import (FrameSecondMeter, gct, load_mask, save_overlay,
+                         save_seg_mask)
+    from .video_seg import _decode, host_largest_cc
 
-        usage = state.usage + jnp.log1p(cnt)
-        usage = jnp.where(state.valid, jnp.clip(usage, 0.0, 1e5), 0.0)
-        state = state.replace(usage=usage)
+    img_list = sorted(glob(os.path.join(test_path, "*.jpg"))
+                      + glob(os.path.join(test_path, "*.png")))
+    if not img_list:
+        raise FileNotFoundError(f"no frames in {test_path}")
 
-        new_cols = []
-        for o in range(self.fb.obj_n):
-            ks, vs, ok, bi, us = sharded_bank_merge_append(
-                self.mesh, state.keys[o], state.values[o], state.valid[o],
-                state.birth[o], state.usage[o], nk[o], nv[o],
-                float(frame_idx), update_rate=self.fb.update_rate,
-                thres_close=self.fb.thres_close)
-            new_cols.append((ks, vs, ok, bi, us))
-        state = state.replace(
-            keys=jnp.stack([c[0] for c in new_cols]),
-            values=jnp.stack([c[1] for c in new_cols]),
-            valid=jnp.stack([c[2] for c in new_cols]),
-            birth=jnp.stack([c[3] for c in new_cols]),
-            usage=jnp.stack([c[4] for c in new_cols]),
-        )
-        label = jnp.argmax(pred[0], axis=0).astype(jnp.uint8)
-        return state, label
+    mask_dir = os.path.join(out_dir, test_name, "mask")
+    overlay_dir = os.path.join(out_dir, test_name, "overlay")
+    os.makedirs(mask_dir, exist_ok=True)
+    if viz:
+        os.makedirs(overlay_dir, exist_ok=True)
+
+    first_name = os.path.splitext(os.path.basename(img_list[0]))[0]
+    if first_mask_path is None:
+        first_mask_path = os.path.join(mask_dir, first_name + ".png")
+    if not os.path.exists(first_mask_path):
+        from .image_seg import run_image_segmentation
+        run_image_segmentation(img_list[0], test_name, out_dir)
+
+    first_frame = _decode(img_list[0])
+    first_mask = load_mask(first_mask_path)
+    obj_n = int(first_mask.max()) + 1
+
+    fb = FeatureBank(obj_n=obj_n, memory_budget=budget)
+    engine = ShardedVideoSegEngine(model, variables, fb, mesh,
+                                   downsample=downsample,
+                                   postprocess=postprocess)
+    state = engine.bootstrap(first_frame, first_mask)
+
+    save_seg_mask(first_mask, os.path.join(mask_dir, first_name + ".png"))
+    if viz:
+        save_overlay(first_frame, first_mask,
+                     os.path.join(overlay_dir, first_name + ".png"))
+
+    fps = FrameSecondMeter()
+    decode_pool = ThreadPoolExecutor(max_workers=2)
+    writer_pool = ThreadPoolExecutor(max_workers=2)
+
+    def _load(path):
+        frame = _decode(path)
+        return frame, engine.upload(frame)
+
+    rest = img_list[1:]
+    futures = {i: decode_pool.submit(_load, p)
+               for i, p in enumerate(rest[:3])}
+
+    def _write(name, label, frame):
+        pred = engine.fetch_label(label)
+        if engine.postprocess == "host":
+            pred = host_largest_cc(pred)
+        save_seg_mask(pred, os.path.join(mask_dir, name + ".png"))
+        if viz:
+            save_overlay(frame, pred,
+                         os.path.join(overlay_dir, name + ".png"))
+
+    pending = None
+    writes = []
+    for idx, path in enumerate(rest):
+        frame_host, frame_dev = futures.pop(idx).result()
+        if idx + 3 < len(rest):
+            futures[idx + 3] = decode_pool.submit(_load, rest[idx + 3])
+        state, label = engine.step(state, frame_dev, idx + 1)
+        label.copy_to_host_async()
+        if pending is not None:
+            writes.append(writer_pool.submit(_write, *pending))
+        name = os.path.splitext(os.path.basename(path))[0]
+        pending = (name, label, frame_host)
+        fps.add_frame_n(1)
+
+    if pending is not None:
+        _write(*pending)
+    for w in writes:
+        w.result()
+    fps.end()
+    decode_pool.shutdown()
+    writer_pool.shutdown()
+    report = fb.report(state)
+    print(gct(), report)
+    print(gct(), f"sharded throughput: {fps.fps:.3f} frames/s "
+          f"({mesh.devices.size} devices)")
+    return {"fps": fps.fps, "frames": fps.frame_n, "bank_report": report,
+            "mask_dir": mask_dir}
