@@ -1,0 +1,137 @@
+"""METRO numerical parity: flax METRONetwork vs a torch re-instantiation.
+
+The torch oracle (tests/torch_metro.py) replicates the public
+MeshTransformer architecture and state_dict layout the reference builds at
+scripts/inference_bodymesh.py:228-293; its random-init state_dict is
+converted with convert_metro_state_dict and the flax graph must reproduce
+camera, joints and all three mesh resolutions to f32 tolerance —
+converting C22 from a shape-compatible stand-in into the METRO graph with
+a tested weight path (VERDICT round-1 item 5).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from tests.torch_metro import METRONetworkTorch
+from tests.torch_oracle import _ResNet50
+from vfloodnet_tpu.core.convert_metro import convert_metro_state_dict
+from vfloodnet_tpu.models.metro import (METRONetwork,
+                                        metro_orthographic_projection)
+
+# small METRO config: same topology, fewer/narrower layers (the converter
+# and graph are shape-agnostic; the full 1024/256/128 config is the default)
+HIDDEN = (64, 32, 16)
+OUT = (32, 16, 3)
+LAYERS = 2
+HEADS = 4
+INTER = 96
+
+
+def _randomize_bn(model, seed=3):
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.2)
+            m.running_var.copy_(0.5 + torch.rand(m.num_features, generator=g))
+
+
+def test_metro_network_parity():
+    torch.manual_seed(0)
+    resnet = _ResNet50()
+    backbone = torch.nn.Sequential(*list(resnet.children())[:-2])
+    oracle = METRONetworkTorch(backbone, stage_hidden=HIDDEN, stage_out=OUT,
+                               heads=HEADS, intermediate=INTER, layers=LAYERS)
+    _randomize_bn(oracle)
+    oracle.eval()
+
+    rng = np.random.RandomState(0)
+    smpl = {
+        "template_joints": rng.randn(14, 3).astype(np.float32) * 0.3,
+        "template_vertices_sub2": rng.randn(431, 3).astype(np.float32) * 0.3,
+        "j_regressor_h36m": rng.rand(17, 6890).astype(np.float32) / 6890.0,
+    }
+    images = rng.rand(2, 64, 64, 3).astype(np.float32)
+
+    with torch.no_grad():
+        t_cam, t_j14, t_sub2, t_sub, t_full = oracle(
+            torch.from_numpy(images.transpose(0, 3, 1, 2)),
+            torch.from_numpy(smpl["template_joints"]),
+            torch.from_numpy(smpl["template_vertices_sub2"]),
+            torch.from_numpy(smpl["j_regressor_h36m"]))
+
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    variables = convert_metro_state_dict(sd, smpl_buffers=smpl)
+
+    model = METRONetwork(backbone="resnet50", stage_hidden=HIDDEN,
+                         stage_out=OUT, stage_layers=LAYERS,
+                         stage_heads=HEADS, intermediate=INTER)
+    # torch normalises inside the oracle? No: the oracle consumes raw
+    # images; METRONetwork applies ImageNet norm internally — feed it the
+    # pre-normalised torch input inverted accordingly.
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    crops01 = images * std + mean     # so the internal norm yields `images`
+
+    j_cam, j_j14, j_sub2, j_sub, j_full = model.apply(
+        variables, jnp.asarray(crops01))
+
+    np.testing.assert_allclose(np.asarray(j_cam), t_cam.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_sub2), t_sub2.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_sub), t_sub.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_full), t_full.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_j14), t_j14.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+    # projection consumed by the depth pipeline (s * (xy + t))
+    proj = metro_orthographic_projection(j_sub2, j_cam)
+    cam_np = np.asarray(j_cam)
+    expect = cam_np[:, None, 0:1] * (np.asarray(j_sub2)[..., :2]
+                                     + cam_np[:, None, 1:3])
+    np.testing.assert_allclose(np.asarray(proj), expect, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_metro_bin_checkpoint_end_to_end(tmp_path):
+    """The people-depth loader consumes a METRO .bin directly: torch-save
+    the oracle's state_dict, load via load_default_mesh_regressor, get the
+    projected 431 2-D vertices (the *_pred.txt contract)."""
+    from vfloodnet_tpu.models.metro import load_default_mesh_regressor
+
+    torch.manual_seed(1)
+    resnet = _ResNet50()
+    backbone = torch.nn.Sequential(*list(resnet.children())[:-2])
+    oracle = METRONetworkTorch(backbone, stage_hidden=HIDDEN, stage_out=OUT,
+                               heads=HEADS, intermediate=INTER, layers=LAYERS)
+    path = tmp_path / "metro_state_dict.bin"
+    torch.save(oracle.state_dict(), str(path))
+
+    regressor = load_default_mesh_regressor(str(path))
+    crop = (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+    pts = regressor(crop)
+    assert pts.shape == (431, 2)
+    assert np.isfinite(pts).all()
+
+
+def test_metro_converter_rejects_unknown_keys():
+    with pytest.raises(ValueError, match="unmapped"):
+        convert_metro_state_dict({"mystery.weight": np.zeros((2, 2))})
+
+
+def test_metro_converter_skip_backbone():
+    """HRNet-w64 checkpoints: backbone keys drop, transformer still maps."""
+    sd = {
+        "backbone.hrnet_stage2.whatever.weight": np.zeros((3, 3)),
+        "trans_encoder.0.cls_head.weight": np.zeros((4, 8), np.float32),
+        "trans_encoder.0.cls_head.bias": np.zeros((4,), np.float32),
+    }
+    out = convert_metro_state_dict(sd, skip_backbone=True)
+    assert out["params"]["stage0"]["cls_head"]["kernel"].shape == (8, 4)

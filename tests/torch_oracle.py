@@ -69,6 +69,10 @@ class _ResNet50(nn.Module):
         self.layer2 = self._make_layer(128, 4, stride=2)
         self.layer3 = self._make_layer(256, 6, stride=2)
         self.layer4 = self._make_layer(512, 3, stride=2)
+        # torchvision tail — so Sequential(children[:-2]) keeps layer4
+        # (METRO's torchvision-arch backbone slice)
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(2048, 1000)
 
     def _make_layer(self, planes, blocks, stride):
         downsample = None

@@ -83,10 +83,12 @@ class ResLayer(nn.Module):
 
 
 class ResNet50Backbone(nn.Module):
-    """Stem + layer1..layer3. Extra stem streams (mask channels) are added
-    *before* the stem BN, matching the reference memory encoder
-    (AFB_URR.py:55-56)."""
+    """Stem + layer1..layer3 (+ optional layer4 for consumers needing the
+    2048-channel /32 grid, e.g. METRO's torchvision trunk). Extra stem
+    streams (mask channels) are added *before* the stem BN, matching the
+    reference memory encoder (AFB_URR.py:55-56)."""
     dtype: Any = jnp.float32
+    with_layer4: bool = False
 
     def setup(self):
         self.conv1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
@@ -95,6 +97,9 @@ class ResNet50Backbone(nn.Module):
         self.layer1 = ResLayer(64, 3, 1, dtype=self.dtype, name="layer1")
         self.layer2 = ResLayer(128, 4, 2, dtype=self.dtype, name="layer2")
         self.layer3 = ResLayer(256, 6, 2, dtype=self.dtype, name="layer3")
+        if self.with_layer4:
+            self.layer4 = ResLayer(512, 3, 2, dtype=self.dtype,
+                                   name="layer4")
 
     def stem(self, x, extra=None):
         y = self.conv1(x)
@@ -110,4 +115,7 @@ class ResNet50Backbone(nn.Module):
         r2 = self.layer1(y)                               # 1/4, 256
         r3 = self.layer2(r2)                              # 1/8, 512
         r4 = self.layer3(r3)                              # 1/16, 1024
+        if self.with_layer4:
+            r5 = self.layer4(r4)                          # 1/32, 2048
+            return r5, r4, r3, r2
         return r4, r3, r2, r1
