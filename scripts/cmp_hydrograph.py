@@ -31,8 +31,10 @@ def main():
     px2m = os.path.join(args.record_dir, args.test_name, "px_to_meter.txt")
     out_dir = args.out_dir or os.path.dirname(est_csv)
 
-    res = compare_hydrographs(est_csv, gt_csv, px2m, out_dir)
-    print(gct(), f"mean abs err: {res['mean_abs_err_cm']:.2f} cm, "
+    res = compare_hydrographs(est_csv, gt_csv, px2m, out_dir,
+                              test_name=args.test_name)
+    print(gct(), f"[{res['site_profile']}] "
+          f"mean abs err: {res['mean_abs_err_cm']:.2f} cm, "
           f"std: {res['std_abs_err_cm']:.2f} cm, "
           f"err rate: {res['mean_err_rate'] * 100:.2f}% (n={res['n']})")
 

@@ -85,3 +85,76 @@ def test_compare_hydrographs(tmp_path):
     assert res["mean_abs_err_cm"] < 6.0
     assert os.path.exists(tmp_path / "cmp" / "hydrograph_cmp.png")
     assert os.path.exists(tmp_path / "cmp" / "cmp_report.txt")
+
+
+# ---------------------------------------------------------------------------
+# Site-specific gauge formats (reference cmp_hydrograph.py:65-86): fixture
+# gt.csv per site under tests/fixtures/gauge.
+# ---------------------------------------------------------------------------
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures", "gauge")
+
+
+def _est_csv(tmp_path, times, cols):
+    df = pd.DataFrame(cols, index=pd.to_datetime(times))
+    path = tmp_path / "waterlevel.csv"
+    df.to_csv(path)
+    return str(path)
+
+
+def _px2m(tmp_path, rows):
+    path = tmp_path / "px_to_meter.txt"
+    np.savetxt(path, np.asarray(rows))
+    return str(path)
+
+
+def test_boston_harbor_gauge_format(tmp_path):
+    """Two-column datetime, value col 4, and the 20190119_20190123 gauge
+    clock correction of -60 min."""
+    times = ["2019-01-19 11:00", "2019-01-19 12:00"]
+    est = _est_csv(tmp_path, times, {"est_ref0_px": [1.8, 1.6]})
+    px2m = _px2m(tmp_path, [[1.0, 0.0]])
+    gt = os.path.join(FIXTURES, "boston_harbor_gt.csv")
+
+    # with the shift trigger: gt times move -60 min, so 11:00 est reads the
+    # original 12:00 gauge value (1.8) -> exact match
+    res = compare_hydrographs(est, gt, px2m,
+                              test_name="boston_harbor_20190119_20190123")
+    assert res["site_profile"] == "boston_harbor"
+    assert res["mean_abs_err_cm"] < 1e-6
+
+    # without the trigger substring the shift must NOT apply:
+    # gauge at 11:00 = 1.4, 12:00 = 1.8 -> errors 0.4 and 0.2 m
+    res = compare_hydrographs(est, gt, px2m,
+                              test_name="boston_harbor_other")
+    assert abs(res["mean_abs_err_cm"] - 30.0) < 1e-6
+
+
+def test_houston_gauge_format(tmp_path):
+    """'%m/%d/%Y %H:%M' timestamps, value col 2, multi-tracker averaging."""
+    times = ["2019-01-19 10:30", "2019-01-19 12:00"]
+    # two trackers at 2x meters each; px2m rows halve them -> exact values
+    est = _est_csv(tmp_path, times, {"est_ref0_px": [19.6, 21.2],
+                                     "est_ref1_px": [19.6, 21.2],
+                                     "est_avg_px": [19.6, 21.2]})
+    px2m = _px2m(tmp_path, [[0.5, 0.0], [0.5, 0.0]])
+    gt = os.path.join(FIXTURES, "houston_gt.csv")
+    res = compare_hydrographs(est, gt, px2m, test_name="houston_buffalo")
+    assert res["site_profile"] == "houston"
+    # gauge interp at 10:30 = 9.8; 12:00 = 10.6 -> est 9.8 / 10.6 exact
+    assert res["mean_abs_err_cm"] < 1e-6
+    # err rate normalised by gauge peak (10.6 m)
+    assert res["mean_err_rate"] < 1e-6
+
+
+def test_lsu_gauge_format(tmp_path):
+    """'%Y-%m-%d-%H-%M-%S' timestamps with a corrupt row (coerce-dropped),
+    value col 1."""
+    times = ["2021-03-05 10:00:30", "2021-03-05 10:02:30"]
+    est = _est_csv(tmp_path, times, {"est_ref0_px": [0.225, 0.29]})
+    px2m = _px2m(tmp_path, [[1.0, 0.0]])
+    gt = os.path.join(FIXTURES, "LSU_gt.csv")
+    res = compare_hydrographs(est, gt, px2m, test_name="LSU_demo")
+    assert res["site_profile"] == "LSU"
+    # the bad row must be dropped; interp: 10:00:30 -> 0.225, 10:02:30 -> 0.29
+    assert res["mean_abs_err_cm"] < 1e-6
