@@ -1,8 +1,13 @@
-"""Multi-stream batch video engine: B streams match B single-stream runs."""
+"""Multi-stream batch video engine: B streams match B single-stream runs.
+
+Parametrized over the compute dtype: the bf16 variant exercises the
+production frame-prep and diff-cast paths (pipelines/video_seg_batch.py)
+against the bf16 single-stream engine (ADVICE round-1 item 3)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vfloodnet_tpu.memory import FeatureBank
 from vfloodnet_tpu.models import AFBURR
@@ -10,11 +15,13 @@ from vfloodnet_tpu.pipelines.video_seg import VideoSegEngine
 from vfloodnet_tpu.pipelines.video_seg_batch import BatchVideoSegEngine
 
 
-def test_batch_engine_matches_single_stream():
-    model = AFBURR(read_chunk=128)
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16],
+                         ids=["f32", "bf16"])
+def test_batch_engine_matches_single_stream(dtype):
+    model = AFBURR(read_chunk=128, dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((48, 64, 3)),
                            jnp.zeros((2, 48, 64)), method=model.init_all)
-    fb = FeatureBank(obj_n=2, memory_budget=1024)
+    fb = FeatureBank(obj_n=2, memory_budget=1024, dtype=dtype)
 
     rng = np.random.RandomState(0)
     vids = [
