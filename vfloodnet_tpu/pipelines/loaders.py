@@ -14,6 +14,20 @@ from ..core.checkpoint import restore_checkpoint
 from ..models import AFBURR
 from ..utils import gct
 
+# In-repo trained demo checkpoints (scripts/train_demo_checkpoints.py) —
+# used when no explicit model path is given, replacing random-init smoke
+# mode everywhere (the reference loads its released .pth the same way,
+# test_video_seg.py:48-58; those files cannot be downloaded here).
+_RECORDS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "records", "checkpoints")
+
+
+def default_checkpoint(kind: str) -> Optional[str]:
+    """Path of the bundled trained checkpoint for ``kind`` in
+    {'video', 'image'}, or None if absent."""
+    path = os.path.join(_RECORDS, kind, "best")
+    return path if os.path.isdir(path) else None
+
 
 def load_afb_urr(model_path: Optional[str] = None,
                  dtype=jnp.float32) -> Tuple[AFBURR, dict]:
@@ -21,9 +35,12 @@ def load_afb_urr(model_path: Optional[str] = None,
 
     Accepts either a converted orbax checkpoint directory, a reference
     PyTorch ``.pth`` checkpoint (converted on the fly via torch-cpu), or
-    None/missing (random init with a warning — functional smoke mode only).
+    None (fall back to the bundled demo checkpoint, then random init with
+    a warning — functional smoke mode only).
     """
     model = AFBURR(dtype=dtype)
+    if model_path is None:
+        model_path = default_checkpoint("video")
 
     def _random_init():
         rng = jax.random.PRNGKey(0)
