@@ -35,6 +35,9 @@ class RCNNConfig:
     num_classes: int = 80
     groups: int = 1
     width_per_group: int = 64
+    # backbone stage depths (R-101 default; small tuples give the tiny
+    # synthetic-trainable variants used by train/train_detection.py)
+    blocks: tuple = (3, 4, 23, 3)
     score_thresh: float = 0.5
     nms_thresh: float = 0.5
     max_detections: int = 100
@@ -54,6 +57,7 @@ class GeneralizedRCNN(nn.Module):
 
     def setup(self):
         self.backbone = DetectionResNet(
+            blocks=tuple(self.cfg.blocks),
             groups=self.cfg.groups, width_per_group=self.cfg.width_per_group,
             dtype=self.dtype)
         self.fpn = FPN(dtype=self.dtype)
@@ -112,6 +116,27 @@ class GeneralizedRCNN(nn.Module):
             out["keypoint_heatmaps"] = heat
 
         return out
+
+    # ---- trainer-facing pieces (losses assign targets outside the module,
+    # train/train_detection.py) --------------------------------------------
+    def features(self, image_bgr: jnp.ndarray):
+        """image -> FPN pyramid [(P2, stride), ...]."""
+        x = (image_bgr - jnp.asarray(PIXEL_MEAN_BGR))[None]
+        c2, c3, c4, c5 = self.backbone(x.astype(self.dtype))
+        return self.fpn((c2, c3, c4, c5))
+
+    def rpn_raw(self, pyramid):
+        return self.rpn.raw([p[0] for p in pyramid])
+
+    def box_apply(self, pyramid, rois):
+        feats = multilevel_roi_align([p[0] for p in pyramid[:4]], rois,
+                                     STRIDES, pooled=7)
+        return self.box_head(feats)
+
+    def mask_apply(self, pyramid, rois):
+        feats = multilevel_roi_align([p[0] for p in pyramid[:4]], rois,
+                                     STRIDES, pooled=14)
+        return self.mask_head(feats)
 
     def init_all(self, image_bgr: jnp.ndarray):
         """__call__ plus a dummy point-head invocation so ``init`` creates

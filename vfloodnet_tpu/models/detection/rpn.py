@@ -84,12 +84,19 @@ class RPN(nn.Module):
     nms_thresh: float = 0.7
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.head = RPNHead(dtype=self.dtype)
+
+    def raw(self, feats: Sequence[jnp.ndarray]):
+        """Per-level (objectness logits, box deltas) — the trainer's view
+        (losses assign anchor targets outside the module)."""
+        return self.head(feats)
+
     def __call__(self, feats: Sequence[jnp.ndarray], image_hw: Tuple[int, int]
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """feats: P2..P6 ([1, H, W, C] each). Returns (proposals
         [post_nms_topk, 4], scores, valid)."""
-        logits, deltas = RPNHead(dtype=self.dtype, name="head")(feats)
+        logits, deltas = self.head(feats)
 
         strides = [4, 8, 16, 32, 64]
         all_boxes, all_scores = [], []
