@@ -1,0 +1,130 @@
+"""Stage-level microbench: batched (B=4) vs single-stream step costs.
+
+Times each piece of the per-frame transition (prep+encode+read+decode,
+memorize, bank update, label tail) as separate jits for B in {1, 4}, on
+the current backend. Identifies which stage stops the batched engine from
+beating the free-running single stream (VERDICT round-1 weak #4 /
+next-round #3).
+
+Run on the real TPU: python scripts/bench_batched_parts.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from vfloodnet_tpu.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from vfloodnet_tpu import ops
+from vfloodnet_tpu.memory import FeatureBank
+from vfloodnet_tpu.models import AFBURR
+from vfloodnet_tpu.pipelines.loaders import cast_floating_params
+
+RES = (1080, 1920)
+OPERATING = 480
+BUDGET = 250_000
+REPS = int(os.environ.get("VFLOOD_BENCH_REPEATS", "3"))
+
+
+def timeit(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.time() - t0)
+    return best * 1000.0
+
+
+def main():
+    model = AFBURR(dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((48, 64, 3)),
+                           jnp.zeros((2, 48, 64)), method=model.init_all)
+    variables = cast_floating_params(variables, jnp.bfloat16)
+    fb = FeatureBank(obj_n=2, memory_budget=BUDGET, dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    for B in (1, 4):
+        frames_u8 = jax.device_put(
+            (rng.rand(B, *RES, 3) * 255).astype(np.uint8))
+        mask0 = np.zeros(RES, np.uint8)
+        mask0[RES[0] // 2:, :] = 1
+
+        from vfloodnet_tpu.pipelines.video_seg_batch import BatchVideoSegEngine
+        eng = BatchVideoSegEngine(model, variables, fb, batch=B,
+                                  downsample=OPERATING)
+        state = eng.bootstrap([rng.rand(*RES, 3).astype(np.float32)
+                               for _ in range(B)], [mask0] * B)
+
+        small_hw = ops.short_side_size(*RES, OPERATING)
+
+        @jax.jit
+        def prep(frames_u8):
+            f = frames_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            return ops.resize(f, small_hw, "bicubic", spatial_axes=(1, 2))
+
+        frames_small = prep(frames_u8)
+
+        @jax.jit
+        def seg(frames_small, keys, values, valid, occ):
+            def one(frame, k, v, ok):
+                score, _, cnt = model.apply(
+                    variables, frame[None], k, v, ok, False,
+                    method=model.segment, bank_occ=occ)
+                return score[0], cnt
+            return jax.vmap(one)(frames_small, keys, values, valid)
+
+        @jax.jit
+        def mem(frames_small, preds):
+            def one(frame, pred):
+                return model.apply(variables, frame, pred,
+                                   method=model.memorize)
+            return jax.vmap(one)(frames_small, preds)
+
+        @jax.jit
+        def upd(state, k4, v4):
+            return jax.vmap(lambda st, nk, nv: fb.update(st, nk, nv, 5.0))(
+                state, k4, v4)
+
+        @jax.jit
+        def tail(preds, frames_u8):
+            diff = (preds[:, 1] - preds[:, 0]).astype(jnp.bfloat16)
+            up = ops.resize(diff, RES, "bicubic", spatial_axes=(-2, -1))
+            return (up > 0).astype(jnp.uint8)
+
+        scores, cnts = seg(frames_small, state.keys, state.values,
+                           state.valid, state.occ)
+        preds = jax.nn.softmax(scores, axis=1)
+        k4, v4 = mem(frames_small, preds)
+
+        r = {
+            "prep": timeit(prep, frames_u8),
+            "seg(enc+read+dec)": timeit(seg, frames_small, state.keys,
+                                        state.values, state.valid, state.occ),
+            "memorize": timeit(mem, frames_small, preds),
+            "update": timeit(upd, state, k4, v4),
+            "tail(up+thresh)": timeit(tail, preds, frames_u8),
+        }
+        total = sum(r.values())
+        print(f"B={B}: " + "  ".join(f"{k} {v:.1f}ms" for k, v in r.items()))
+        print(f"B={B}: total {total:.1f} ms -> {1000.0 * B / total:.1f} "
+              f"frames/s aggregate (stage-sum bound)")
+
+
+if __name__ == "__main__":
+    from vfloodnet_tpu.core.runtime import ensure_backend
+    ensure_backend()
+    main()
