@@ -33,6 +33,9 @@ def get_args():
                         "inter-stage PNGs); runs segmentation itself")
     p.add_argument("--model-path", type=str, default="records/video_seg_tpu",
                    help="Video model for --streaming")
+    p.add_argument("--det-model-path", type=str, default=None,
+                   help="Detector checkpoint dir (orbax; an optional "
+                        "rcnn_config.json sidecar selects the variant)")
     return p.parse_args()
 
 
@@ -53,7 +56,8 @@ def main():
         from vfloodnet_tpu.pipelines.object_detection import \
             est_by_obj_detection
         out = est_by_obj_detection(img_list, water_mask_list, out_dir,
-                                   args.opt)
+                                   args.opt,
+                                   det_model_path=args.det_model_path)
         print(gct(), f"Depth estimates written to {out}")
     elif args.streaming:
         from vfloodnet_tpu.pipelines.loaders import load_afb_urr

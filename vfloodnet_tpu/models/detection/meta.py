@@ -279,20 +279,49 @@ def keypoint_rcnn_config() -> RCNNConfig:
                       num_classes=1, with_keypoints=True)
 
 
+def _sidecar_config(path: str) -> Optional[RCNNConfig]:
+    """RCNNConfig from a ``rcnn_config.json`` sidecar next to (or inside)
+    a checkpoint dir — lets trained non-default variants (e.g. the tiny
+    synthetic-trained stop-sign detector, train/train_detection.py) drop
+    into the standard CLI path."""
+    import json
+    import os
+
+    for cand in (os.path.join(path, "rcnn_config.json"),
+                 os.path.join(os.path.dirname(path.rstrip("/")),
+                              "rcnn_config.json")):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                d = json.load(f)
+            if "blocks" in d:
+                d["blocks"] = tuple(d["blocks"])
+            return RCNNConfig(**d)
+    return None
+
+
 def load_default_detector(opt: str, model_path: Optional[str] = None):
     """Build the detector for --opt {stopsign, people}. Loads converted
     weights when available; random init with a warning otherwise (smoke
-    mode — real runs need converted Detectron2 COCO weights)."""
+    mode — real runs need converted Detectron2 COCO weights, or the
+    synthetic-trained tiny checkpoint from scripts/train_demo_detector.py)."""
     import os
     import warnings
-
-    cfg = stopsign_rcnn_config() if opt == "stopsign" else \
-        keypoint_rcnn_config()
-    model = GeneralizedRCNN(cfg)
 
     default_paths = {"stopsign": "records/pointrend_x101_tpu",
                      "people": "records/keypoint_r101_tpu"}
     path = model_path or default_paths.get(opt)
+    # bundled synthetic-trained fallback (stopsign only)
+    if (not model_path or not os.path.isdir(model_path)) and \
+            opt == "stopsign" and not os.path.isdir(path):
+        demo = os.path.join("records", "checkpoints", "stopsign_tiny",
+                            "best")
+        if os.path.isdir(demo):
+            path = demo
+
+    cfg = (_sidecar_config(path) if path else None) or (
+        stopsign_rcnn_config() if opt == "stopsign" else
+        keypoint_rcnn_config())
+    model = GeneralizedRCNN(cfg)
 
     # init_all also touches the point head (refinement runs outside
     # __call__); jitted because eager flax init would run the whole graph

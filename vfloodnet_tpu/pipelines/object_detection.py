@@ -296,7 +296,8 @@ def est_by_obj_detection(img_list: Sequence[str],
                          water_mask_list: Sequence[str], out_dir: str,
                          opt: str, detector: Optional[Detector] = None,
                          mesh_regressor: Optional[MeshRegressor] = None,
-                         template_3d_path: Optional[str] = None) -> str:
+                         template_3d_path: Optional[str] = None,
+                         det_model_path: Optional[str] = None) -> str:
     """Depth estimation over a list of stills. Writes
     ``<out_dir>/waterdepth.txt`` rows (name, ratio, depth-cm) like the
     reference (:311-315, :389-398). Returns its path."""
@@ -304,7 +305,7 @@ def est_by_obj_detection(img_list: Sequence[str],
 
     if detector is None:
         from ..models.detection import load_default_detector
-        detector = load_default_detector(opt)
+        detector = load_default_detector(opt, det_model_path)
 
     result_dir = os.path.join(out_dir, "result")
     os.makedirs(result_dir, exist_ok=True)
