@@ -178,6 +178,28 @@ def main():
         flabel.block_until_ready()
         fps_full = max(fps_full, n_full / (time.time() - t0))
 
+    # FLOPs per frame (XLA cost analysis of the fused step) -> MFU at the
+    # measured headline fps. Peak comes from the device kind (or
+    # VFLOOD_TPU_PEAK_TFLOPS for kinds not in the table); MFU is omitted
+    # when the peak is unknown rather than guessed.
+    step_gflops = None
+    mfu_pct = None
+    try:
+        lowered = engine._step.lower(state, frames[0],
+                                     jnp.float32(1.0))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            step_gflops = flops / 1e9
+            peak = _peak_flops(jax.devices()[0])
+            if peak:
+                mfu_pct = 100.0 * flops * fps / peak
+    except Exception as e:   # cost analysis is best-effort
+        print(f"# cost analysis unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # Multi-stream batched throughput (aggregate frames/sec/chip over B
     # independent videos — the TPU-native way to raise utilisation since
     # propagation is sequential in t; SURVEY.md §7.3). Skipped when the
@@ -204,6 +226,10 @@ def main():
         "operating_short_side": operating,
         "platform": platform,
     }
+    if step_gflops is not None:
+        result["step_gflops"] = round(step_gflops, 2)
+    if mfu_pct is not None:
+        result["mfu_pct"] = round(mfu_pct, 2)
     if batched_fps is not None:
         result[f"batched_fps_{streams}_streams"] = round(batched_fps, 3)
         if batched_fps > fps:
@@ -214,6 +240,25 @@ def main():
                 batched_fps / ASSUMED_PYTORCH_GPU_FPS, 3)
             result["single_stream_fps"] = round(fps, 3)
     print(json.dumps(result))
+
+
+def _peak_flops(device) -> float:
+    """bf16 peak FLOP/s for known TPU generations (public spec sheets);
+    0.0 when unknown. Override with VFLOOD_TPU_PEAK_TFLOPS."""
+    env = os.environ.get("VFLOOD_TPU_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    kind = getattr(device, "device_kind", "").lower()
+    table = {
+        "v4": 275e12,
+        "v5 lite": 197e12, "v5e": 197e12,
+        "v5p": 459e12, "v5": 459e12,
+        "v6e": 918e12, "trillium": 918e12,
+    }
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return 0.0
 
 
 def measure_batched(model, variables, budget, res_hw, operating,
