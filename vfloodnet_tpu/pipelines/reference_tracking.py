@@ -104,6 +104,10 @@ def load_or_pick_bboxes(ref_img: np.ndarray, ref_bbox_path: str,
 
 
 def _make_trackers(ref_img: np.ndarray, bboxes) -> Optional[list]:
+    """CSRT when the cv2 build ships it; otherwise the first-party JAX
+    MOSSE correlation tracker (ops/tracker.py) — the reference's tracking
+    capability (estimation/reference_tracking.py:105-113) stays live even
+    on cv2 builds without contrib trackers."""
     try:
         import cv2
         mk = getattr(cv2, "TrackerCSRT_create", None)
@@ -115,8 +119,20 @@ def _make_trackers(ref_img: np.ndarray, bboxes) -> Optional[list]:
             t.init(ref_img, tuple(int(v) for v in b))
             trackers.append(t)
         return trackers
+    except Exception:
+        pass
+    try:
+        from ..ops.tracker import MosseTracker
+        trackers = []
+        for b in bboxes:
+            t = MosseTracker()
+            t.init(ref_img, tuple(int(v) for v in b))
+            trackers.append(t)
+        warnings.warn("cv2 CSRT unavailable; using the first-party MOSSE "
+                      "correlation tracker.")
+        return trackers
     except Exception as e:
-        warnings.warn(f"CSRT tracker unavailable ({e}); using static bboxes.")
+        warnings.warn(f"No tracker available ({e}); using static bboxes.")
         return None
 
 
