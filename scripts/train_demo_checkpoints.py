@@ -39,6 +39,29 @@ TRAIN_ROOT = os.path.join(REPO, "records", "demo_train")
 CKPT_ROOT = os.path.join(REPO, "records", "checkpoints")
 
 
+class _Repeat:
+    """Dataset view with ``repeats``x the length per epoch.
+
+    The demo dataset has only 3 stills, so without this one epoch is a
+    single gradient step and the loop checkpoints every step. The repeat
+    index folds into the augmentation epoch-seed, so every pass sees fresh
+    jitter/affine/crop draws.
+    """
+
+    def __init__(self, ds, repeats: int):
+        self.ds = ds
+        self.repeats = max(1, int(repeats))
+
+    def __len__(self):
+        return len(self.ds) * self.repeats
+
+    def get(self, idx: int, epoch: int = 0):
+        n = len(self.ds)
+        return self.ds.get(idx % n, epoch * self.repeats + idx // n)
+
+    __getitem__ = get
+
+
 def train_image(epochs: int) -> None:
     import jax.numpy as jnp
     from vfloodnet_tpu.core.checkpoint import save_checkpoint
@@ -52,8 +75,10 @@ def train_image(epochs: int) -> None:
     # 416x416 operating point.
     cfg = ImageTrainConfig(epochs=epochs, batch_size=3, input_size=320,
                            lr=3e-4, lr_late=1e-4)
-    dataset = WaterImageDataset("train_offline", TRAIN_ROOT,
-                                input_size=cfg.input_size)
+    dataset = _Repeat(
+        WaterImageDataset("train_offline", TRAIN_ROOT,
+                          input_size=cfg.input_size),
+        int(os.environ.get("VFLOOD_TRAIN_REPEATS_IMAGE", 64)))
     model = LinkNet()
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3)))
@@ -84,11 +109,22 @@ def train_video(epochs: int) -> None:
     # water-only demo: obj_n = 2 (bg + water), 4-frame clips at 240px keep
     # the CPU fallback viable; the network is fully convolutional so the
     # checkpoint transfers to the 480px inference operating point.
+    # reference lr (train_video_seg.py AdamW 1e-5): 1e-4 measurably
+    # diverges to the uniform-output fixed point (CE ln2 + 0.5*unc = 1.1931)
+    # within the first epoch on this overfit set
+    # From-scratch training needs live BN (update_bn) — with frozen
+    # init-value stats the encoders degenerate and the loss pins at the
+    # base-rate fixed point 1.1931 (= CE ln2 + 0.5*unc), measured at both
+    # lr 1e-4 and 1e-5. The reference's frozen-BN recipe assumes ImageNet
+    # stats (train_video_seg.py:106) which cannot be downloaded here.
     cfg = VideoTrainConfig(epochs=epochs, clip_n=4, max_obj_n=2,
-                           output_size=240, lr=1e-4)
-    dataset = WaterVideoTrainDataset(TRAIN_ROOT, output_size=cfg.output_size,
-                                     clip_n=cfg.clip_n,
-                                     max_obj_n=cfg.max_obj_n)
+                           output_size=240, update_bn=True, lr=float(
+                               os.environ.get("VFLOOD_TRAIN_LR_VIDEO", 1e-4)))
+    dataset = _Repeat(
+        WaterVideoTrainDataset(TRAIN_ROOT, output_size=cfg.output_size,
+                               clip_n=cfg.clip_n,
+                               max_obj_n=cfg.max_obj_n),
+        int(os.environ.get("VFLOOD_TRAIN_REPEATS_VIDEO", 12)))
     model = AFBURR()
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)),
                            jnp.zeros((2, 64, 64)), method=model.init_all)

@@ -55,9 +55,13 @@ def test_batch_engine_matches_single_stream(dtype):
         st, labs = beng.step(st, frames, i + 1)
         batch_labels.append(beng.fetch_labels(labs))
 
+    # bf16 random-weight masks carry genuine near-tie pixels where batched
+    # vs single-stream op ordering can flip the sign (see test_bf16.py's
+    # threshold note); f32 must stay essentially exact.
+    thres = 0.995 if dtype == jnp.float32 else 0.97
     for v in range(2):
         for i in range(2):
             a = singles[v][i]
             b = batch_labels[i][v]
             agreement = (a == b).mean()
-            assert agreement > 0.995, (v, i, agreement)
+            assert agreement > thres, (v, i, agreement)

@@ -58,7 +58,12 @@ def test_afb_urr_bf16_mask_agreement():
 
     a, b = preds["float32"], preds["bfloat16"]
     agreement = (a == b).mean()
-    assert agreement > 0.97, agreement
+    # Random-weight regime: the decoder's unbounded log-odds (see
+    # models.afb_urr.Decoder) leave many genuine near-tie pixels where
+    # bf16 noise can flip the argmax (the old 1e-7 prob clip used to
+    # equalise them into deterministic ties, inflating agreement).
+    # Trained-weight mask fidelity is covered by tests/test_demo_e2e.py.
+    assert agreement > 0.95, agreement
 
 
 def test_cast_floating_params_identity():

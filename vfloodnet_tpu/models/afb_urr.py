@@ -189,7 +189,15 @@ class Decoder(nn.Module):
 
         p = p + unc.astype(self.dtype) * q
         p = _upsample2(p)                                                    # 1/1
-        score = jax.nn.softmax(p.astype(jnp.float32), axis=-1)[..., 1]      # [N,H,W]
+        # Per-object fg LOG-ODDS: for a 2-class softmax,
+        # log(p1 / (1 - p1)) == logit1 - logit0 EXACTLY — computing it this
+        # way (instead of softmax -> clip -> log) is clip-free and keeps
+        # gradients alive everywhere. With the clipped form, training from
+        # scratch saturates past the 1e-7 clip within a few steps and the
+        # zero-gradient clip pins the whole network at the base-rate fixed
+        # point (loss = ln2 + 0.5, measured).
+        p = p.astype(jnp.float32)
+        score = p[..., 1] - p[..., 0]                                       # [N,H,W]
         return score.reshape(bs, obj_n, 2 * h, 2 * w)
 
 
@@ -263,19 +271,22 @@ class AFBURR(nn.Module):
         # skips stay per-batch: the decoder runs their object-independent
         # convs once and broadcasts (see Decoder docstring).
         score = self.decoder(feat, r3, r2, r1,
-                             bs, obj_n)                  # [B, obj, H, W] probs
+                             bs, obj_n)                  # [B, obj, H, W] log-odds
 
         if training:
             unc = calc_uncertainty(jnp.moveaxis(
                 jax.nn.softmax(score, axis=1), 1, -1), obj_axis=-1)
             hw = score.shape[-2] * score.shape[-1]
-            unc = jnp.linalg.norm(unc.reshape(bs, -1), axis=1) / math.sqrt(hw)
+            # eps-guarded norm: jnp.linalg.norm has a NaN gradient at the
+            # exactly-zero vector (x/||x||), which a fully-confident
+            # prediction map produces — and 0.5 * NaN poisons the whole
+            # gradient tree.
+            unc = jnp.sqrt(jnp.sum(jnp.square(unc.reshape(bs, -1)), axis=1)
+                           + 1e-12) / math.sqrt(hw)
             uncertainty_loss = jnp.mean(unc)
         else:
             uncertainty_loss = None
 
-        score = jnp.clip(score, 1e-7, 1 - 1e-7)
-        score = jnp.log(score / (1 - score))             # logits
         score = unpad(score, pad, spatial_axes=(-2, -1))
         return score, uncertainty_loss
 

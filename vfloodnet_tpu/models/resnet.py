@@ -20,18 +20,41 @@ import jax.numpy as jnp
 
 
 class FrozenBN(nn.Module):
-    """BatchNorm evaluated with stored running statistics."""
+    """BatchNorm evaluated with stored running statistics (the reference
+    freezes BN during training, train_video_seg.py:106 — its encoders are
+    ImageNet-pretrained so the stored stats are meaningful).
+
+    When applied with the ``batch_stats`` collection MUTABLE, it becomes a
+    live BatchNorm: normalises with the current batch statistics and
+    EMA-updates the stored stats. Needed for training encoders from
+    scratch (no pretrained stats exist in this environment): with
+    init-value stats the layer is an identity, activation variance decays
+    through deep ReLU stacks, and optimisation plateaus at the base-rate
+    output (measured: AFB-URR demo training pins at CE ln2 + 0.5 = 1.1931
+    without this)."""
     dtype: Any = jnp.float32
+    momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x):
         f = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (f,))
         bias = self.param("bias", nn.initializers.zeros, (f,))
-        mean = self.variable("batch_stats", "mean",
-                             lambda: jnp.zeros((f,), jnp.float32)).value
-        var = self.variable("batch_stats", "var",
-                            lambda: jnp.ones((f,), jnp.float32)).value
+        mean_v = self.variable("batch_stats", "mean",
+                               lambda: jnp.zeros((f,), jnp.float32))
+        var_v = self.variable("batch_stats", "var",
+                              lambda: jnp.ones((f,), jnp.float32))
+        if self.is_mutable_collection("batch_stats") and \
+                not self.is_initializing():
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
+            m = self.momentum
+            mean_v.value = m * mean_v.value + (1.0 - m) * mean
+            var_v.value = m * var_v.value + (1.0 - m) * var
+        else:
+            mean, var = mean_v.value, var_v.value
         inv = scale * jnp.reciprocal(jnp.sqrt(var + 1e-5))
         return ((x.astype(jnp.float32) - mean) * inv + bias).astype(self.dtype)
 

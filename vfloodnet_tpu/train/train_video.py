@@ -42,6 +42,17 @@ class VideoTrainConfig:
     # TPU HBM/FLOPs trade — enables bigger clips / per-chip batches; the
     # reference has no equivalent, it is capped at batch_size=1).
     remat: bool = False
+    # Live BatchNorm (batch statistics + EMA running-stat updates). The
+    # reference trains with BN frozen because its encoders carry ImageNet
+    # stats (train_video_seg.py:106); training FROM SCRATCH needs live BN
+    # (see models.resnet.FrozenBN).
+    update_bn: bool = False
+    # Global-norm gradient clip (0 = off). The decoder emits UNBOUNDED
+    # fg log-odds by design (the reference's 1e-7 prob clip is a
+    # zero-gradient training trap — see models.afb_urr.Decoder); at
+    # from-scratch init those can be huge, so bounded updates are the
+    # default.
+    grad_clip: float = 1.0
 
 
 class VideoTrainState(struct.PyTreeNode):
@@ -52,29 +63,44 @@ class VideoTrainState(struct.PyTreeNode):
 
 
 def video_clip_loss(model: AFBURR, params, batch_stats, frames, masks,
-                    lambda_u: float, remat: bool = False):
-    """Loss for a batch of clips.
+                    lambda_u: float, remat: bool = False,
+                    update_bn: bool = False):
+    """Loss for a batch of clips. Returns (loss, new_batch_stats) — the
+    stats pass through unchanged unless ``update_bn`` (live-BN training,
+    see VideoTrainConfig.update_bn).
 
     frames [B, T, H, W, 3]; masks [B, T, obj_n, H, W] one-hot.
     """
     variables = {"params": params, "batch_stats": batch_stats}
+    mutable = ["batch_stats"] if update_bn else False
 
     def per_clip(frames_c, masks_c):
-        k4, v4 = model.apply(variables, frames_c[0], masks_c[0],
-                             method=model.memorize)       # [obj, P, d]
+        out1 = model.apply(variables, frames_c[0], masks_c[0],
+                           method=model.memorize, mutable=mutable)
+        (k4, v4), upd1 = out1 if update_bn else (out1, None)
         valid = jnp.ones(k4.shape[:2], bool)
-        score, unc, _ = model.apply(variables, frames_c[1:], k4, v4, valid,
-                                    True, method=model.segment)
+        out2 = model.apply(variables, frames_c[1:], k4, v4, valid,
+                           True, method=model.segment, mutable=mutable)
+        (score, unc, _), upd2 = out2 if update_bn else (out2, None)
         # score [T-1, obj, H, W] logits; labels from one-hot masks.
         labels = jnp.argmax(masks_c[1:], axis=1)           # [T-1, H, W]
         logits = jnp.moveaxis(score, 1, -1)                # [T-1, H, W, obj]
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-        return ce.mean() + lambda_u * unc
+        loss = ce.mean() + lambda_u * unc
+        if not update_bn:
+            return loss, batch_stats
+        # both applies ran from the same incoming stats (parallel-branch
+        # BN approximation); average their EMA updates
+        new_stats = jax.tree.map(lambda a, b: 0.5 * (a + b),
+                                 upd1["batch_stats"], upd2["batch_stats"])
+        return loss, new_stats
 
     if remat:
         per_clip = jax.checkpoint(per_clip)
-    losses = jax.vmap(per_clip)(frames, masks)
-    return losses.mean()
+    losses, stats = jax.vmap(per_clip)(frames, masks)
+    new_stats = jax.tree.map(lambda s: s.mean(axis=0), stats) \
+        if update_bn else batch_stats
+    return losses.mean(), new_stats
 
 
 def make_lr_schedule(cfg: VideoTrainConfig, steps_per_epoch: int):
@@ -92,6 +118,8 @@ def init_video_train_state(model: AFBURR, variables, cfg: VideoTrainConfig,
                            ) -> Tuple[VideoTrainState, optax.GradientTransformation]:
     tx = optax.adamw(make_lr_schedule(cfg, steps_per_epoch),
                      weight_decay=cfg.weight_decay)
+    if getattr(cfg, "grad_clip", 0.0):
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     params = variables["params"]
     return VideoTrainState(
         step=jnp.zeros((), jnp.int32),
@@ -120,14 +148,19 @@ def make_video_train_step(model: AFBURR, tx: optax.GradientTransformation,
     """Build the jitted train step. With a mesh, clips are DP-sharded over
     'data' and conv kernels TP-sharded over 'model'."""
 
+    update_bn = getattr(cfg, "update_bn", False)
+
     def step(state: VideoTrainState, frames, masks):
         def loss_fn(params):
             return video_clip_loss(model, params, state.batch_stats, frames,
-                                   masks, cfg.lambda_u, remat=cfg.remat)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                                   masks, cfg.lambda_u, remat=cfg.remat,
+                                   update_bn=update_bn)
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params,
+                             batch_stats=new_stats,
                              opt_state=opt_state), loss
 
     if mesh is None:
