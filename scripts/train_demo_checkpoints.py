@@ -73,8 +73,16 @@ def train_image(epochs: int) -> None:
     # 320px training keeps the 1-CPU fallback viable (~27 s/step); LinkNet
     # is fully convolutional, so inference still runs at the reference's
     # 416x416 operating point.
+    # lr env override: resuming a converged state at the schedule's early
+    # 3e-4 measurably collapses train IoU 0.70 -> 0.56 (epoch-35 basin
+    # switch); continuation runs should pass 1e-4 for both phases.
+    lr = float(os.environ.get("VFLOOD_TRAIN_LR_IMAGE", 3e-4))
+    lr_late = float(os.environ.get("VFLOOD_TRAIN_LR_IMAGE_LATE", 1e-4))
+    # update_bn: training from scratch REQUIRES live BN (see
+    # ImageTrainConfig.update_bn — frozen init-value stats degenerate to an
+    # input-independent positional prior, measured on this very dataset).
     cfg = ImageTrainConfig(epochs=epochs, batch_size=3, input_size=320,
-                           lr=3e-4, lr_late=1e-4)
+                           lr=lr, lr_late=lr_late, update_bn=True)
     dataset = _Repeat(
         WaterImageDataset("train_offline", TRAIN_ROOT,
                           input_size=cfg.input_size),
@@ -83,7 +91,17 @@ def train_image(epochs: int) -> None:
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3)))
     log_dir = os.path.join(CKPT_ROOT, "image_log")
-    best = run_image_training(model, variables, cfg, dataset, log_dir)
+    # VFLOOD_TRAIN_RESUME=1 continues from a previous run's state:
+    # VFLOOD_TRAIN_RESUME_FROM selects 'final' (last epoch, default) or
+    # 'best' (highest train IoU — the safe restart point after a collapse).
+    resume = None
+    if os.environ.get("VFLOOD_TRAIN_RESUME"):
+        which = os.environ.get("VFLOOD_TRAIN_RESUME_FROM", "final")
+        cand = os.path.join(log_dir, which)
+        if os.path.exists(os.path.join(cand, "_CHECKPOINT_METADATA")):
+            resume = cand
+    best = run_image_training(model, variables, cfg, dataset, log_dir,
+                              resume=resume)
 
     # re-save just the inference variables at the canonical path
     from vfloodnet_tpu.core.checkpoint import restore_checkpoint
@@ -129,8 +147,15 @@ def train_video(epochs: int) -> None:
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)),
                            jnp.zeros((2, 64, 64)), method=model.init_all)
     log_dir = os.path.join(CKPT_ROOT, "video_log")
+    # VFLOOD_TRAIN_RESUME=1 picks the run back up from the last completed
+    # 'best' epoch checkpoint (interrupted-run recovery).
+    resume = None
+    if os.environ.get("VFLOOD_TRAIN_RESUME"):
+        cand = os.path.join(log_dir, "best")
+        if os.path.exists(os.path.join(cand, "_CHECKPOINT_METADATA")):
+            resume = cand
     best = run_video_training(model, variables, cfg, dataset, log_dir,
-                              batch_size=1)
+                              batch_size=1, resume=resume)
 
     state, _ = init_video_train_state(model, variables, cfg, 1)
     state = restore_checkpoint(best, target=state)

@@ -1,0 +1,47 @@
+"""Full detection chain e2e with TRAINED weights: detector -> octagon fit ->
+geometry -> depth, no injected fake detectors (VERDICT round-1 item 6).
+
+Requires the synthetic-trained tiny stop-sign detector
+(scripts/train_demo_detector.py) and its staged eval scenes
+(records/demo_eval/stopsign). The reference chain this mirrors:
+estimation/object_detection.py:260-398 (released COCO weights there;
+synthetic-trained weights here since the env has no egress).
+"""
+
+import os
+from glob import glob
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.path.join(REPO, "records", "checkpoints", "stopsign_tiny", "best")
+SCENES = os.path.join(REPO, "records", "demo_eval", "stopsign")
+
+needs_detector = pytest.mark.skipif(
+    not (os.path.isdir(CKPT)
+         and glob(os.path.join(SCENES, "frames", "*.png"))),
+    reason="tiny stop-sign detector not trained / scenes not staged")
+
+
+@needs_detector
+def test_stopsign_chain_produces_real_depth(tmp_path):
+    from vfloodnet_tpu.pipelines.object_detection import est_by_obj_detection
+
+    img_list = sorted(glob(os.path.join(SCENES, "frames", "*.png")))
+    mask_list = [os.path.join(SCENES, "masks",
+                              os.path.basename(p)) for p in img_list]
+    out_path = est_by_obj_detection(img_list, mask_list, str(tmp_path),
+                                    "stopsign")
+    assert os.path.exists(out_path)
+    rows = [ln.split() for ln in open(out_path) if ln.strip()]
+    # at least one scene must yield a real (finite, positive) depth from the
+    # model-in-the-loop chain
+    depths = []
+    for r in rows:
+        try:
+            depths.append(float(r[-1]))
+        except ValueError:
+            pass
+    assert depths, f"no parsable depth rows in {out_path}: {rows}"
+    assert any(np.isfinite(d) and d > 0 for d in depths), rows

@@ -307,13 +307,18 @@ def load_default_detector(opt: str, model_path: Optional[str] = None):
     import os
     import warnings
 
-    default_paths = {"stopsign": "records/pointrend_x101_tpu",
-                     "people": "records/keypoint_r101_tpu"}
+    # default checkpoint locations are repo-root-relative (CWD-independent,
+    # like pipelines/loaders.py _RECORDS)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    default_paths = {
+        "stopsign": os.path.join(repo, "records", "pointrend_x101_tpu"),
+        "people": os.path.join(repo, "records", "keypoint_r101_tpu")}
     path = model_path or default_paths.get(opt)
     # bundled synthetic-trained fallback (stopsign only)
     if (not model_path or not os.path.isdir(model_path)) and \
             opt == "stopsign" and not os.path.isdir(path):
-        demo = os.path.join("records", "checkpoints", "stopsign_tiny",
+        demo = os.path.join(repo, "records", "checkpoints", "stopsign_tiny",
                             "best")
         if os.path.isdir(demo):
             path = demo

@@ -99,9 +99,18 @@ def load_linknet(model_path: Optional[str] = None,
         return model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
     import os
+    from ..pipelines.loaders import default_checkpoint
     if model_path is None:
-        from ..pipelines.loaders import default_checkpoint
         model_path = default_checkpoint("image")
+    elif not (os.path.exists(model_path) and os.path.isdir(model_path)):
+        # CLI defaults name the converted-reference-weights location
+        # (test_image_seg.py ./records/linknet_tpu); when absent, prefer
+        # the bundled trained demo checkpoint over random init.
+        bundled = default_checkpoint("image")
+        if bundled:
+            warnings.warn(f"No checkpoint at {model_path!r}; using bundled "
+                          f"demo checkpoint {bundled!r}.")
+            model_path = bundled
     if model_path and os.path.exists(model_path) and os.path.isdir(model_path):
         from ..core.checkpoint import restore_checkpoint
         variables = restore_checkpoint(model_path, target=_random_init())

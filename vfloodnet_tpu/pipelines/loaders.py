@@ -41,6 +41,15 @@ def load_afb_urr(model_path: Optional[str] = None,
     model = AFBURR(dtype=dtype)
     if model_path is None:
         model_path = default_checkpoint("video")
+    elif not os.path.exists(model_path):
+        # CLI defaults name the converted-reference-weights location
+        # (e.g. est_waterlevel.py records/video_seg_tpu); when absent,
+        # prefer the bundled trained demo checkpoint over random init.
+        bundled = default_checkpoint("video")
+        if bundled:
+            warnings.warn(f"No checkpoint at {model_path!r}; using bundled "
+                          f"demo checkpoint {bundled!r}.")
+            model_path = bundled
 
     def _random_init():
         rng = jax.random.PRNGKey(0)

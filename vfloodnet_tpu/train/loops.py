@@ -88,7 +88,9 @@ def run_image_training(model, variables, cfg, dataset, log_dir: str,
         state = restore_checkpoint(resume, target=state)
         start_epoch = int(state.step) // steps_per_epoch
         print(gct(), f"Resumed from {resume} at epoch {start_epoch}")
-    step_fn = make_image_train_step(model, tx, mesh=mesh)
+    step_fn = make_image_train_step(model, tx, mesh=mesh,
+                                    update_bn=getattr(cfg, "update_bn",
+                                                      False))
 
     val_loader = None
     eval_fn = None

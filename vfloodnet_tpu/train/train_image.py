@@ -28,6 +28,14 @@ class ImageTrainConfig:
     batch_size: int = 8
     input_size: int = 416
     seed: int = 0
+    # Live BatchNorm (normalise with batch stats + EMA-update stored stats).
+    # The reference trains from ImageNet-pretrained encoders with meaningful
+    # stored stats; training FROM SCRATCH with frozen init-value stats
+    # measurably degenerates to an input-independent positional prior
+    # (flood-still run: every prediction = the same horizontal band,
+    # train IoU pinned ~0.70) — same failure mode as AFB-URR's
+    # VideoTrainConfig.update_bn (train_video.py:49).
+    update_bn: bool = False
 
 
 class ImageTrainState(struct.PyTreeNode):
@@ -74,20 +82,29 @@ def init_image_train_state(model: LinkNet, variables, cfg: ImageTrainConfig,
 
 
 def make_image_train_step(model: LinkNet, tx: optax.GradientTransformation,
-                          mesh: Optional[Mesh] = None) -> Callable:
+                          mesh: Optional[Mesh] = None,
+                          update_bn: bool = False) -> Callable:
     def step(state: ImageTrainState, images, masks):
         """images [B,H,W,3] float01; masks [B,H,W] float {0,1}."""
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            prob = model.apply(variables, images)[..., 0]
+            if update_bn:
+                prob4, upd = model.apply(variables, images,
+                                         mutable=["batch_stats"])
+                new_stats = upd["batch_stats"]
+            else:
+                prob4 = model.apply(variables, images)
+                new_stats = state.batch_stats
+            prob = prob4[..., 0]
             loss = dice_loss(prob, masks)
-            return loss, prob
-        (loss, prob), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            return loss, (prob, new_stats)
+        (loss, (prob, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         iou = iou_metric(prob, masks)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params,
+                             batch_stats=new_stats,
                              opt_state=opt_state), loss, iou
 
     if mesh is None:
