@@ -25,6 +25,10 @@ def main():
     p.add_argument("--streams", type=int, default=1,
                    help="Propagate this many same-resolution videos "
                         "simultaneously (one vmapped device step).")
+    p.add_argument("--memorize-every", type=int, default=1,
+                   help="Memorize/bank-update every Kth frame (1 = every "
+                        "frame, matching the reference; >1 trades a little "
+                        "accuracy for throughput).")
     args = p.parse_args()
 
     model, variables = load_afb_urr(args.model_path)
@@ -38,13 +42,15 @@ def main():
             print(gct(), f"=== streams: {group} ===")
             run_video_segmentation_batch(
                 [os.path.join(args.benchmark_root, n) for n in group],
-                group, args.out_dir, model, variables, budget=args.budget)
+                group, args.out_dir, model, variables, budget=args.budget,
+                memorize_every=args.memorize_every)
         return
     for name in names:
         print(gct(), f"=== {name} ===")
         run_video_segmentation(os.path.join(args.benchmark_root, name), name,
                                args.out_dir, model=model, variables=variables,
-                               budget=args.budget)
+                               budget=args.budget,
+                               memorize_every=args.memorize_every)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,9 @@ OPERATING = 480
 BUDGET = 250_000
 REPS = int(os.environ.get("VFLOOD_BENCH_REPEATS", "5"))
 STEPS = 6   # frames timed per rep (amortizes per-dispatch RPC)
+# 'auto' | 'none' | 'device' — 'none' isolates the seg+bank transition from
+# the largest-CC stage when diagnosing batched-vs-single scaling.
+POSTPROCESS = os.environ.get("VFLOOD_BENCH_POSTPROCESS", "auto")
 
 
 def time_steps(step_fn, state, frames_dev, fidx0):
@@ -58,10 +61,19 @@ def time_steps(step_fn, state, frames_dev, fidx0):
 
 def main():
     bs = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
-    model = AFBURR(dtype=jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((48, 64, 3)),
-                           jnp.zeros((2, 48, 64)), method=model.init_all)
-    variables = cast_floating_params(variables, jnp.bfloat16)
+    if os.environ.get("VFLOOD_BENCH_RANDOM_INIT"):
+        # Random init produces speckle masks whose device-CC fixpoint cost is
+        # far above the blob-mask production regime — keep as an opt-in
+        # worst-case mode.
+        model = AFBURR(dtype=jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((48, 64, 3)),
+                               jnp.zeros((2, 48, 64)), method=model.init_all)
+        variables = cast_floating_params(variables, jnp.bfloat16)
+    else:
+        # Bundled trained demo checkpoint when present (same policy as
+        # bench.py) — representative blob masks, representative CC cost.
+        from vfloodnet_tpu.pipelines.loaders import load_afb_urr
+        model, variables = load_afb_urr(None, dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
     mask0 = np.zeros(RES, np.uint8)
@@ -70,7 +82,7 @@ def main():
     # single-stream fused step (the reference point)
     fb1 = FeatureBank(obj_n=2, memory_budget=BUDGET, dtype=jnp.bfloat16)
     eng1 = VideoSegEngine(model, variables, fb1, downsample=OPERATING,
-                          postprocess="auto")
+                          postprocess=POSTPROCESS)
     st1 = eng1.bootstrap(rng.rand(*RES, 3).astype(np.float32), mask0)
     f1 = [jax.device_put((rng.rand(*RES, 3) * 255).astype(np.uint8))
           for _ in range(2)]
@@ -86,7 +98,8 @@ def main():
     for B in bs:
         fb = FeatureBank(obj_n=2, memory_budget=BUDGET, dtype=jnp.bfloat16)
         eng = BatchVideoSegEngine(model, variables, fb, batch=B,
-                                  downsample=OPERATING)
+                                  downsample=OPERATING,
+                                  postprocess=POSTPROCESS)
         state = eng.bootstrap([rng.rand(*RES, 3).astype(np.float32)
                                for _ in range(B)], [mask0] * B)
         frames = [jax.device_put(

@@ -65,3 +65,47 @@ def test_batch_engine_matches_single_stream(dtype):
             b = batch_labels[i][v]
             agreement = (a == b).mean()
             assert agreement > thres, (v, i, agreement)
+
+
+def test_batch_engine_memorize_every_skips_bank_updates():
+    """memorize_every > 1: skipped frames run the read-only step (bank
+    content frozen, usage bookkeeping still live), update frames mutate the
+    bank — mirroring VideoSegEngine's knob."""
+    model = AFBURR(read_chunk=128, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((48, 64, 3)),
+                           jnp.zeros((2, 48, 64)), method=model.init_all)
+    fb = FeatureBank(obj_n=2, memory_budget=1024, dtype=jnp.float32)
+
+    rng = np.random.RandomState(1)
+    first = [rng.rand(48, 64, 3).astype(np.float32) for _ in range(2)]
+    masks0 = []
+    for v in range(2):
+        m = np.zeros((48, 64), np.uint8)
+        m[20 + 4 * v:, :] = 1
+        masks0.append(m)
+
+    beng = BatchVideoSegEngine(model, variables, fb, batch=2, downsample=48,
+                               memorize_every=2)
+    st = beng.bootstrap(first, masks0)
+    keys0 = np.asarray(st.keys)
+    valid0 = np.asarray(st.valid)
+    occ0 = np.asarray(st.occ)
+    usage0 = np.asarray(st.usage)
+
+    frames = np.stack([rng.rand(48, 64, 3).astype(np.float32)
+                       for _ in range(2)])
+    # frame 1: 1 % 2 != 0 -> read-only step
+    st, _ = beng.step(st, frames, 1)
+    np.testing.assert_array_equal(np.asarray(st.keys), keys0)
+    np.testing.assert_array_equal(np.asarray(st.valid), valid0)
+    np.testing.assert_array_equal(np.asarray(st.occ), occ0)
+    assert not np.array_equal(np.asarray(st.usage), usage0)  # usage live
+
+    # frame 2: update step mutates the bank (birth stamps written at least).
+    # st is donated into the step, so host-copy anything compared after.
+    usage1 = np.asarray(st.usage)
+    st2, _ = beng.step(st, frames, 2)
+    changed = (not np.array_equal(np.asarray(st2.keys), keys0)
+               or not np.array_equal(np.asarray(st2.occ), occ0)
+               or not np.array_equal(np.asarray(st2.usage), usage1))
+    assert changed

@@ -39,7 +39,8 @@ class BatchVideoSegEngine:
     """
 
     def __init__(self, model: AFBURR, variables, fb: FeatureBank,
-                 batch: int, downsample: int = 480, postprocess="auto"):
+                 batch: int, downsample: int = 480, postprocess="auto",
+                 memorize_every: int = 1, cc_scale: int = 2):
         self.model = model
         if model.dtype != jnp.float32:     # see cast_floating_params
             variables = cast_floating_params(variables, model.dtype)
@@ -48,6 +49,8 @@ class BatchVideoSegEngine:
         self.batch = batch
         self.downsample = downsample
         self.postprocess = resolve_postprocess(postprocess)
+        self.memorize_every = max(1, int(memorize_every))
+        self.cc_scale = int(cc_scale)
         self.full_hw: Optional[Tuple[int, int]] = None
 
         @jax.jit
@@ -57,10 +60,13 @@ class BatchVideoSegEngine:
                                    method=model.memorize)
             return jax.vmap(one)(frames_small, masks_small)
 
-        @partial(jax.jit, donate_argnums=0)
-        def _step(state: FeatureBankState, frames_u8, frame_idx):
+        def _make_step(update_bank: bool):
+          @partial(jax.jit, donate_argnums=0)
+          def _step(state: FeatureBankState, frames_u8, frame_idx):
             """frames_u8 [B, H, W, 3] uint8; state arrays carry a leading
-            [B] stream axis."""
+            [B] stream axis. ``update_bank=False`` compiles the read-only
+            variant used on skipped frames when ``memorize_every > 1``
+            (see VideoSegEngine._step)."""
             # Prep in the model's compute dtype (see VideoSegEngine._step):
             # for bf16 production the B-stream 1080p normalize + bicubic
             # downsample halves its HBM traffic, and the encoders cast the
@@ -87,20 +93,21 @@ class BatchVideoSegEngine:
                                              state.values, state.valid)
             preds = jax.nn.softmax(scores, axis=1)     # [B, obj, h, w]
 
-            def mem_one(frame, pred):
-                return model.apply(variables, frame, pred,
-                                   method=model.memorize)
-
-            k4, v4 = jax.vmap(mem_one)(frames_small, preds)
-
             usage = state.usage + jnp.log1p(cnts)
             usage = jnp.where(state.valid, jnp.clip(usage, 0.0, 1e5), 0.0)
             state = state.replace(usage=usage)
 
-            def upd_one(st, nk, nv):
-                return self.fb.update(st, nk, nv, frame_idx)
+            if update_bank:                    # static at trace time
+                def mem_one(frame, pred):
+                    return model.apply(variables, frame, pred,
+                                       method=model.memorize)
 
-            state = jax.vmap(upd_one)(state, k4, v4)
+                k4, v4 = jax.vmap(mem_one)(frames_small, preds)
+
+                def upd_one(st, nk, nv):
+                    return self.fb.update(st, nk, nv, frame_idx)
+
+                state = jax.vmap(upd_one)(state, k4, v4)
 
             full_hw = frames_u8.shape[1:3]
             if self.fb.obj_n == 2:
@@ -119,13 +126,19 @@ class BatchVideoSegEngine:
                 labels = jnp.argmax(up, axis=1).astype(jnp.uint8)
                 labels_small = jnp.argmax(preds, axis=1).astype(jnp.uint8)
             if self.postprocess == "device":    # static at trace time
-                labels = jax.vmap(device_largest_cc)(labels, labels_small)
+                labels = jax.vmap(
+                    partial(device_largest_cc, scale=self.cc_scale))(
+                        labels, labels_small)
             if self.fb.obj_n == 2:              # binary masks go bit-packed
                 labels = jax.vmap(pack_bits)(labels)
             return state, labels
+          return _step
 
         self._init_banks = _init_banks
-        self._step = _step
+        self._step = _make_step(True)
+        # Read-only step only exists (and compiles) when frames get skipped.
+        self._step_ro = (_make_step(False) if self.memorize_every > 1
+                         else self._step)
 
     def bootstrap(self, first_frames: Sequence[np.ndarray],
                   first_masks: Sequence[np.ndarray]) -> FeatureBankState:
@@ -159,7 +172,9 @@ class BatchVideoSegEngine:
             if frames.dtype != np.uint8:
                 frames = (frames * 255.0 + 0.5).astype(np.uint8)
             frames = jax.device_put(frames)
-        return self._step(state, frames, jnp.float32(frame_idx))
+        fn = (self._step if frame_idx % self.memorize_every == 0
+              else self._step_ro)
+        return fn(state, frames, jnp.float32(frame_idx))
 
     def fetch_labels(self, labels) -> np.ndarray:
         """Device label handle (bit-packed when obj_n == 2) -> host uint8
@@ -176,7 +191,8 @@ def run_video_segmentation_batch(test_paths: Sequence[str],
                                  budget: int = 250_000,
                                  downsample: int = 480,
                                  viz: bool = True,
-                                 image_model_path: Optional[str] = None
+                                 image_model_path: Optional[str] = None,
+                                 memorize_every: int = 1
                                  ) -> dict:
     """Propagate several same-resolution videos simultaneously.
 
@@ -187,6 +203,8 @@ def run_video_segmentation_batch(test_paths: Sequence[str],
     import os
     from concurrent.futures import ThreadPoolExecutor
     from glob import glob
+
+    import jax
 
     from ..utils import FrameSecondMeter, gct, load_mask, save_overlay, \
         save_seg_mask
@@ -227,7 +245,8 @@ def run_video_segmentation_batch(test_paths: Sequence[str],
     obj_n = max(int(m.max()) + 1 for m in first_masks)
     fb = FeatureBank(obj_n=obj_n, memory_budget=budget)
     engine = BatchVideoSegEngine(model, variables, fb, batch=b,
-                                 downsample=downsample)
+                                 downsample=downsample,
+                                 memorize_every=memorize_every)
     state = engine.bootstrap(first_frames, first_masks)
 
     max_len = max(len(v) for v in vids)
@@ -250,17 +269,31 @@ def run_video_segmentation_batch(test_paths: Sequence[str],
             if name is not None:
                 _write(vi, name, labels_np[vi], frames[vi])
 
-    pending = None   # (names, labels_device, frames_host)
-    for t in range(1, max_len):
-        batch_frames = []
-        batch_names = []
-        for vi, frames in enumerate(vids):
+    # Decode+upload prefetch (mirrors the single-stream loop,
+    # video_seg.py:371-400): the next steps' B-frame batches are decoded and
+    # H2D-queued while the device runs the current step.
+    decode_pool = ThreadPoolExecutor(max_workers=2)
+    PREFETCH = 3
+
+    def _load(t):
+        batch_frames, batch_names = [], []
+        for frames in vids:
             idx = min(t, len(frames) - 1)       # pad exhausted streams
             batch_frames.append(_decode(frames[idx]))
             batch_names.append(
                 os.path.splitext(os.path.basename(frames[idx]))[0]
                 if t < len(frames) else None)
-        state, labels = engine.step(state, np.stack(batch_frames), t)
+        return batch_names, jax.device_put(np.stack(batch_frames)), \
+            batch_frames
+
+    futures = {t: decode_pool.submit(_load, t)
+               for t in range(1, min(max_len, 1 + PREFETCH))}
+    pending = None   # (names, labels_device, frames_host)
+    for t in range(1, max_len):
+        batch_names, dev_frames, batch_frames = futures.pop(t).result()
+        if t + PREFETCH < max_len:
+            futures[t + PREFETCH] = decode_pool.submit(_load, t + PREFETCH)
+        state, labels = engine.step(state, dev_frames, t)
         labels.copy_to_host_async()
         if pending is not None:                 # one step behind: overlapped
             writes.append(writer.submit(_flush, *pending))
@@ -273,6 +306,7 @@ def run_video_segmentation_batch(test_paths: Sequence[str],
         w.result()
     fps.end()
     writer.shutdown()
+    decode_pool.shutdown()
     print(gct(), f"batch throughput: {fps.fps:.3f} frames/s "
           f"({b} streams)")
     return {"fps": fps.fps, "frames": fps.frame_n}
