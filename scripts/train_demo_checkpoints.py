@@ -108,9 +108,11 @@ def train_image(epochs: int) -> None:
     from vfloodnet_tpu.train.train_image import init_image_train_state
     state, _ = init_image_train_state(model, variables, cfg, 1)
     state = restore_checkpoint(best, target=state)
-    save_checkpoint(os.path.join(CKPT_ROOT, "image", "best"),
-                    {"params": state.params,
-                     "batch_stats": state.batch_stats})
+    from vfloodnet_tpu.core.checkpoint import save_flat_npz
+    blob = {"params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats)}
+    save_checkpoint(os.path.join(CKPT_ROOT, "image", "best"), blob)
+    save_flat_npz(os.path.join(CKPT_ROOT, "image", "best.npz"), blob)
     print("image checkpoint saved:", os.path.join(CKPT_ROOT, "image", "best"))
 
 
@@ -159,9 +161,11 @@ def train_video(epochs: int) -> None:
 
     state, _ = init_video_train_state(model, variables, cfg, 1)
     state = restore_checkpoint(best, target=state)
-    save_checkpoint(os.path.join(CKPT_ROOT, "video", "best"),
-                    {"params": state.params,
-                     "batch_stats": state.batch_stats})
+    from vfloodnet_tpu.core.checkpoint import save_flat_npz
+    blob = {"params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats)}
+    save_checkpoint(os.path.join(CKPT_ROOT, "video", "best"), blob)
+    save_flat_npz(os.path.join(CKPT_ROOT, "video", "best.npz"), blob)
     print("video checkpoint saved:", os.path.join(CKPT_ROOT, "video", "best"))
 
 

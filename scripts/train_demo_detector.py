@@ -102,9 +102,11 @@ def main():
                   f"({time.time() - t0:.0f}s)", flush=True)
 
     os.makedirs(CKPT_DIR, exist_ok=True)
-    save_checkpoint(os.path.join(CKPT_DIR, "best"),
-                    {"params": jax.device_get(state.params),
-                     "batch_stats": jax.device_get(state.batch_stats)})
+    from vfloodnet_tpu.core.checkpoint import save_flat_npz
+    blob = {"params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats)}
+    save_checkpoint(os.path.join(CKPT_DIR, "best"), blob)
+    save_flat_npz(os.path.join(CKPT_DIR, "best.npz"), blob)
     with open(os.path.join(CKPT_DIR, "rcnn_config.json"), "w") as f:
         json.dump(dataclasses.asdict(mc), f, indent=1)
     print(f"checkpoint saved: {CKPT_DIR} "

@@ -26,12 +26,15 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
 IMAGE_IOU_MIN = float(os.environ.get("VFLOOD_DEMO_IMAGE_IOU", "0.70"))
 VIDEO_IOU_MIN = float(os.environ.get("VFLOOD_DEMO_VIDEO_IOU", "0.75"))
 
-needs_image = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(CKPT, "image", "best")),
-    reason="demo image checkpoint not trained")
-needs_video = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(CKPT, "video", "best")),
-    reason="demo video checkpoint not trained")
+def _has_ckpt(kind):
+    return (os.path.exists(os.path.join(CKPT, kind, "best.npz"))
+            or os.path.isdir(os.path.join(CKPT, kind, "best")))
+
+
+needs_image = pytest.mark.skipif(not _has_ckpt("image"),
+                                 reason="demo image checkpoint not trained")
+needs_video = pytest.mark.skipif(not _has_ckpt("video"),
+                                 reason="demo video checkpoint not trained")
 
 
 def _iou(a, b):

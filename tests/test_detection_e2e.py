@@ -17,8 +17,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPT = os.path.join(REPO, "records", "checkpoints", "stopsign_tiny")
 EVAL = os.path.join(REPO, "records", "demo_eval", "stopsign")
 
+def _best():
+    npz = os.path.join(CKPT, "best.npz")
+    return npz if os.path.exists(npz) else os.path.join(CKPT, "best")
+
+
 needs_ckpt = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(CKPT, "best")),
+    not os.path.exists(_best()),
     reason="tiny stop-sign detector not trained")
 
 
@@ -29,7 +34,7 @@ def test_trained_detector_detects_stopsign():
     from vfloodnet_tpu.train.train_detection import pairwise_iou
     import jax.numpy as jnp
 
-    det = load_default_detector("stopsign", os.path.join(CKPT, "best"))
+    det = load_default_detector("stopsign", _best())
     rng = np.random.default_rng(77)
     sc = render_stopsign_scene(rng, size=320)
     inst = det(sc["image"].astype(np.uint8))
@@ -55,7 +60,7 @@ def test_stopsign_depth_chain_end_to_end(tmp_path):
         pytest.skip("e2e scenes not staged (scripts/train_demo_detector.py)")
 
     out = est_by_obj_detection(frames, masks, str(tmp_path), "stopsign",
-                               det_model_path=os.path.join(CKPT, "best"))
+                               det_model_path=_best())
     rows = [ln.split("\t") for ln in open(out).read().strip().splitlines()]
     assert rows, "no depth rows written"
     depths = [float(r[2]) for r in rows]

@@ -15,11 +15,14 @@ import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CKPT = os.path.join(REPO, "records", "checkpoints", "stopsign_tiny", "best")
+_CKDIR = os.path.join(REPO, "records", "checkpoints", "stopsign_tiny")
+CKPT = (os.path.join(_CKDIR, "best.npz")
+        if os.path.exists(os.path.join(_CKDIR, "best.npz"))
+        else os.path.join(_CKDIR, "best"))
 SCENES = os.path.join(REPO, "records", "demo_eval", "stopsign")
 
 needs_detector = pytest.mark.skipif(
-    not (os.path.isdir(CKPT)
+    not (os.path.exists(CKPT)
          and glob(os.path.join(SCENES, "frames", "*.png"))),
     reason="tiny stop-sign detector not trained / scenes not staged")
 

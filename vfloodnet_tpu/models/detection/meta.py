@@ -315,13 +315,17 @@ def load_default_detector(opt: str, model_path: Optional[str] = None):
         "stopsign": os.path.join(repo, "records", "pointrend_x101_tpu"),
         "people": os.path.join(repo, "records", "keypoint_r101_tpu")}
     path = model_path or default_paths.get(opt)
-    # bundled synthetic-trained fallback (stopsign only)
-    if (not model_path or not os.path.isdir(model_path)) and \
-            opt == "stopsign" and not os.path.isdir(path):
-        demo = os.path.join(repo, "records", "checkpoints", "stopsign_tiny",
-                            "best")
-        if os.path.isdir(demo):
-            path = demo
+    # bundled synthetic-trained fallback; prefers the flat best.npz
+    # fast-load file over an orbax dir (core/checkpoint.py)
+    if (not model_path or not os.path.exists(model_path)) and \
+            not os.path.exists(path):
+        kind = {"stopsign": "stopsign_tiny", "people": "people_tiny"}[opt]
+        base = os.path.join(repo, "records", "checkpoints", kind)
+        for demo in (os.path.join(base, "best.npz"),
+                     os.path.join(base, "best")):
+            if os.path.exists(demo):
+                path = demo
+                break
 
     cfg = (_sidecar_config(path) if path else None) or (
         stopsign_rcnn_config() if opt == "stopsign" else
@@ -333,7 +337,11 @@ def load_default_detector(opt: str, model_path: Optional[str] = None):
     # op-by-op — minutes on CPU.
     init = jax.jit(lambda key, img: model.init(key, img,
                                                method=model.init_all))
-    if path and os.path.isdir(path):
+    if path and path.endswith(".npz") and os.path.exists(path):
+        # flat fast-load file: no dummy init (saves a cold compile)
+        from ...core.checkpoint import load_flat_npz
+        variables = load_flat_npz(path)
+    elif path and os.path.isdir(path):
         from ...core.checkpoint import restore_checkpoint
         dummy = init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)))
         variables = restore_checkpoint(path, target=dummy)

@@ -102,7 +102,7 @@ def load_linknet(model_path: Optional[str] = None,
     from ..pipelines.loaders import default_checkpoint
     if model_path is None:
         model_path = default_checkpoint("image")
-    elif not (os.path.exists(model_path) and os.path.isdir(model_path)):
+    elif not os.path.exists(model_path):
         # CLI defaults name the converted-reference-weights location
         # (test_image_seg.py ./records/linknet_tpu); when absent, prefer
         # the bundled trained demo checkpoint over random init.
@@ -111,7 +111,12 @@ def load_linknet(model_path: Optional[str] = None,
             warnings.warn(f"No checkpoint at {model_path!r}; using bundled "
                           f"demo checkpoint {bundled!r}.")
             model_path = bundled
-    if model_path and os.path.exists(model_path) and os.path.isdir(model_path):
+    if model_path and model_path.endswith(".npz") \
+            and os.path.exists(model_path):
+        # flat fast-load file: no target tree / model.init needed
+        from ..core.checkpoint import load_flat_npz
+        variables = load_flat_npz(model_path)
+    elif model_path and os.path.isdir(model_path):
         from ..core.checkpoint import restore_checkpoint
         variables = restore_checkpoint(model_path, target=_random_init())
     else:

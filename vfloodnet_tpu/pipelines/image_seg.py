@@ -35,9 +35,12 @@ def _build_pipeline(model, variables, postprocess: bool = True):
     if getattr(model, "dtype", jnp.float32) != jnp.float32:
         from .loaders import cast_floating_params
         variables = cast_floating_params(variables, model.dtype)
+    # weights as jit arguments (compile-cache survives checkpoint changes;
+    # see VideoSegEngine.__init__)
+    variables = jax.device_put(variables)
 
     @jax.jit
-    def run(img01: jnp.ndarray):
+    def run_impl(variables, img01: jnp.ndarray):
         x = ops.resize(img01[None], MODEL_DIMS, "bilinear", antialias=True)
         prob = model.apply(variables, x)[0]             # [416,416,1] sigmoid
         up = ops.resize(prob, img01.shape[:2], "bilinear",
@@ -53,7 +56,7 @@ def _build_pipeline(model, variables, postprocess: bool = True):
                                    spatial_axes=(-2, -1))
             label = label * keep_full
         return label
-    return run
+    return lambda img01: run_impl(variables, img01)
 
 
 def _host_tail(prob416: np.ndarray, orig_hw: Tuple[int, int],
@@ -100,10 +103,16 @@ def run_image_segmentation(test_path: str, test_name: str,
     if getattr(model, "dtype", jnp.float32) != jnp.float32:
         from .loaders import cast_floating_params
         variables = cast_floating_params(variables, model.dtype)
+    # weights as jit arguments (compile-cache survives checkpoint changes;
+    # see VideoSegEngine.__init__)
+    variables = jax.device_put(variables)
 
     @jax.jit
-    def forward(batch01):                              # [B, 416, 416, 3]
+    def _forward(variables, batch01):                  # [B, 416, 416, 3]
         return model.apply(variables, batch01)[..., 0]  # [B, 416, 416]
+
+    def forward(batch01):
+        return _forward(variables, batch01)
 
     writer = ThreadPoolExecutor(max_workers=2)
     results: List[Tuple[str, str]] = []

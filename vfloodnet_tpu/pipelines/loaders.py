@@ -24,7 +24,12 @@ _RECORDS = os.path.join(os.path.dirname(os.path.dirname(
 
 def default_checkpoint(kind: str) -> Optional[str]:
     """Path of the bundled trained checkpoint for ``kind`` in
-    {'video', 'image'}, or None if absent."""
+    {'video', 'image', 'stopsign_tiny'}, or None if absent. Prefers the
+    flat ``best.npz`` fast-load file (seconds) over an orbax ``best/`` dir
+    (~4 min restore on this host — see core/checkpoint.py)."""
+    npz = os.path.join(_RECORDS, kind, "best.npz")
+    if os.path.exists(npz):
+        return npz
     path = os.path.join(_RECORDS, kind, "best")
     return path if os.path.isdir(path) else None
 
@@ -62,6 +67,12 @@ def load_afb_urr(model_path: Optional[str] = None,
             print(gct(), f"Converting PyTorch checkpoint {model_path}")
             variables = convert_afb_urr_checkpoint(model_path)
             variables = jax.tree.map(jnp.asarray, variables)
+        elif model_path.endswith(".npz"):
+            # fast path: no target tree, no model.init (which would itself
+            # cold-compile on a TPU backend), one sequential read
+            from ..core.checkpoint import load_flat_npz
+            print(gct(), f"Loading npz checkpoint {model_path}")
+            variables = load_flat_npz(model_path)
         else:
             print(gct(), f"Restoring checkpoint {model_path}")
             variables = restore_checkpoint(model_path,

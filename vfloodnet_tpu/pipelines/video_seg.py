@@ -147,7 +147,13 @@ class VideoSegEngine:
         self.model = model
         if model.dtype != jnp.float32:     # see cast_floating_params
             variables = cast_floating_params(variables, model.dtype)
-        self.variables = variables
+        # Weights are passed INTO the jitted step as arguments (device-put
+        # once here), not closed over: closure-captured weights become
+        # compile-time constants, so every checkpoint/weight change would
+        # invalidate the persistent compile cache and force a fully cold
+        # 5-40 min remote compile (the round-2 bench died exactly this way).
+        # As arguments they key the cache on shape/dtype only.
+        self.variables = jax.device_put(variables)
         self.fb = fb
         self.downsample = downsample
         self.postprocess = resolve_postprocess(postprocess)
@@ -156,7 +162,7 @@ class VideoSegEngine:
         self.full_hw = None
 
         @jax.jit
-        def _init_bank(frame_small, mask_small):
+        def _init_bank(variables, frame_small, mask_small):
             k4, v4 = model.apply(variables, frame_small, mask_small,
                                  method=model.memorize)
             return k4, v4
@@ -165,7 +171,7 @@ class VideoSegEngine:
 
         def _make_step(update_bank: bool):
           @partial(jax.jit, donate_argnums=0)
-          def _step(state: FeatureBankState, frame_u8, frame_idx):
+          def _step(state: FeatureBankState, variables, frame_u8, frame_idx):
             """One frame: normalize + downsample + segment + memorize + bank
             update + full-res upsample (+ device CC cleanup + bit-packing,
             when enabled) — ONE jitted graph, ONE dispatch per frame (each
@@ -230,11 +236,21 @@ class VideoSegEngine:
             return state, label_full, label_small
           return _step
 
-        self._init_bank = _init_bank
-        self._step = _make_step(True)
+        # _jit_* take variables positionally (for .lower()/cost analysis);
+        # the _step/_init_bank wrappers bind self.variables and keep the
+        # historical (state, frame, idx) call signature.
+        self._jit_init_bank = _init_bank
+        self._init_bank = lambda f, m: _init_bank(self.variables, f, m)
+        self._jit_step = _make_step(True)
+        self._step = lambda s, f, i: self._jit_step(s, self.variables, f, i)
         # Read-only step only exists (and compiles) when frames get skipped.
-        self._step_ro = (_make_step(False) if self.memorize_every > 1
-                         else self._step)
+        if self.memorize_every > 1:
+            self._jit_step_ro = _make_step(False)
+            self._step_ro = lambda s, f, i: self._jit_step_ro(
+                s, self.variables, f, i)
+        else:
+            self._jit_step_ro = self._jit_step
+            self._step_ro = self._step
 
     def bootstrap(self, first_frame: np.ndarray, first_mask: np.ndarray,
                   ) -> FeatureBankState:

@@ -44,7 +44,10 @@ class BatchVideoSegEngine:
         self.model = model
         if model.dtype != jnp.float32:     # see cast_floating_params
             variables = cast_floating_params(variables, model.dtype)
-        self.variables = variables
+        # Weights as jit ARGUMENTS, not closure constants — keeps the
+        # persistent compile cache valid across checkpoint changes (see
+        # VideoSegEngine.__init__).
+        self.variables = jax.device_put(variables)
         self.fb = fb
         self.batch = batch
         self.downsample = downsample
@@ -54,7 +57,7 @@ class BatchVideoSegEngine:
         self.full_hw: Optional[Tuple[int, int]] = None
 
         @jax.jit
-        def _init_banks(frames_small, masks_small):
+        def _init_banks(variables, frames_small, masks_small):
             def one(frame, mask):
                 return model.apply(variables, frame, mask,
                                    method=model.memorize)
@@ -62,7 +65,8 @@ class BatchVideoSegEngine:
 
         def _make_step(update_bank: bool):
           @partial(jax.jit, donate_argnums=0)
-          def _step(state: FeatureBankState, frames_u8, frame_idx):
+          def _step(state: FeatureBankState, variables, frames_u8,
+                    frame_idx):
             """frames_u8 [B, H, W, 3] uint8; state arrays carry a leading
             [B] stream axis. ``update_bank=False`` compiles the read-only
             variant used on skipped frames when ``memorize_every > 1``
@@ -134,11 +138,18 @@ class BatchVideoSegEngine:
             return state, labels
           return _step
 
-        self._init_banks = _init_banks
-        self._step = _make_step(True)
+        self._jit_init_banks = _init_banks
+        self._init_banks = lambda f, m: _init_banks(self.variables, f, m)
+        self._jit_step = _make_step(True)
+        self._step = lambda s, f, i: self._jit_step(s, self.variables, f, i)
         # Read-only step only exists (and compiles) when frames get skipped.
-        self._step_ro = (_make_step(False) if self.memorize_every > 1
-                         else self._step)
+        if self.memorize_every > 1:
+            self._jit_step_ro = _make_step(False)
+            self._step_ro = lambda s, f, i: self._jit_step_ro(
+                s, self.variables, f, i)
+        else:
+            self._jit_step_ro = self._jit_step
+            self._step_ro = self._step
 
     def bootstrap(self, first_frames: Sequence[np.ndarray],
                   first_masks: Sequence[np.ndarray]) -> FeatureBankState:
@@ -192,7 +203,8 @@ def run_video_segmentation_batch(test_paths: Sequence[str],
                                  downsample: int = 480,
                                  viz: bool = True,
                                  image_model_path: Optional[str] = None,
-                                 memorize_every: int = 1
+                                 memorize_every: int = 1,
+                                 cc_scale: int = 2
                                  ) -> dict:
     """Propagate several same-resolution videos simultaneously.
 
@@ -203,8 +215,6 @@ def run_video_segmentation_batch(test_paths: Sequence[str],
     import os
     from concurrent.futures import ThreadPoolExecutor
     from glob import glob
-
-    import jax
 
     from ..utils import FrameSecondMeter, gct, load_mask, save_overlay, \
         save_seg_mask
@@ -246,7 +256,8 @@ def run_video_segmentation_batch(test_paths: Sequence[str],
     fb = FeatureBank(obj_n=obj_n, memory_budget=budget)
     engine = BatchVideoSegEngine(model, variables, fb, batch=b,
                                  downsample=downsample,
-                                 memorize_every=memorize_every)
+                                 memorize_every=memorize_every,
+                                 cc_scale=cc_scale)
     state = engine.bootstrap(first_frames, first_masks)
 
     max_len = max(len(v) for v in vids)

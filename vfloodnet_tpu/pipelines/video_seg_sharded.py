@@ -61,7 +61,12 @@ class ShardedVideoSegEngine:
         if model.dtype != jnp.float32:     # see cast_floating_params
             from .loaders import cast_floating_params
             variables = cast_floating_params(variables, model.dtype)
-        self.variables = variables
+        # Weights as jit ARGUMENTS (replicated over the mesh), not closure
+        # constants — keeps the persistent compile cache valid across
+        # checkpoint changes (see VideoSegEngine.__init__).
+        from jax.sharding import NamedSharding, PartitionSpec
+        self.variables = jax.device_put(
+            variables, NamedSharding(mesh, PartitionSpec()))
         self.fb = fb
         self.mesh = mesh
         self.downsample = downsample
@@ -69,13 +74,15 @@ class ShardedVideoSegEngine:
         self.cc_scale = int(cc_scale)
         self.full_hw = None
 
-        self._init_bank = jax.jit(lambda f, m: model.apply(
-            variables, f, m, method=model.memorize))
+        self._jit_init_bank = jax.jit(lambda v, f, m: model.apply(
+            v, f, m, method=model.memorize))
+        self._init_bank = lambda f, m: self._jit_init_bank(
+            self.variables, f, m)
 
         pack = fb.obj_n == 2
 
         @partial(jax.jit, donate_argnums=0)
-        def _step(state: FeatureBankState, frame_u8, frame_idx):
+        def _step(state: FeatureBankState, variables, frame_u8, frame_idx):
             cd = model.dtype
             frame_full = frame_u8.astype(cd) / jnp.asarray(255.0, cd)
             small_hw = ops.short_side_size(*frame_u8.shape[:2],
@@ -155,7 +162,8 @@ class ShardedVideoSegEngine:
                 label_full = pack_bits(label_full)
             return state, label_full
 
-        self._step = _step
+        self._jit_step = _step
+        self._step = lambda s, f, i: _step(s, self.variables, f, i)
 
     def bootstrap(self, first_frame: np.ndarray,
                   first_mask: np.ndarray) -> FeatureBankState:
