@@ -105,10 +105,13 @@ def main():
     frames = [engine.upload((rng.rand(*res_hw, 3) * 255).astype(np.uint8))
               for _ in range(4)]
 
-    # Warmup (compiles)
+    # Warmup (compiles + real execution: block_until_ready is only a
+    # dispatch fence on the axon relay — force() is the honest sync, see
+    # vfloodnet_tpu/utils/profiling.py)
+    from vfloodnet_tpu.utils import force
     for i in range(n_warm):
         state, label = engine.step(state, frames[i % len(frames)], i + 1)
-    label.block_until_ready()
+    force(label)
 
     tmpdir = tempfile.mkdtemp(prefix="bench_masks_")
 
@@ -149,18 +152,20 @@ def main():
         st = engine.bootstrap(frame0, mask0)
         for i in range(n_warm):
             st, label = engine.step(st, frames[i % len(frames)], i + 1)
-        label.block_until_ready()
+        force(label)   # drain warmup work before the timed stream
         f2, st = measure_stream(st)
         if f2 > fps:
             fps, state = f2, st
 
-    # Latency: per-frame hard sync over a short tail.
+    # Latency: per-frame hard sync over a short tail — dispatch to
+    # label-on-host (fetch_label is the production readback: the packed
+    # mask D2H is part of what a caller waits for).
     lat = []
     for i in range(n_lat):
         t1 = time.time()
         state, label = engine.step(state, frames[i % len(frames)],
                                    n_warm + n_measure + i + 1)
-        label.block_until_ready()
+        engine.fetch_label(label)
         lat.append(time.time() - t1)
     p50_ms = float(np.percentile(np.array(lat) * 1000.0, 50))
 
@@ -225,17 +230,21 @@ def main():
                 replace_n=_jnp.zeros_like(state.replace_n),
                 occ=_jnp.full_like(state.occ, cap))
 
+        from vfloodnet_tpu.utils import fetch_floor
         fps_full = 0.0
+        floor = None
         for _ in range(REPEATS):
             fs, flabel = engine.step(make_full_state(), frames[0],
-                                     10_000)  # warm
-            flabel.block_until_ready()
+                                     10_000)  # warm + drain (force)
+            force(flabel)
+            if floor is None:
+                floor = fetch_floor(flabel)
             t0 = time.time()
             for i in range(n_full):
                 fs, flabel = engine.step(fs, frames[i % len(frames)],
                                          10_001 + i)
-            flabel.block_until_ready()
-            fps_full = max(fps_full, n_full / (time.time() - t0))
+            force(flabel)   # executes the whole chained run
+            fps_full = max(fps_full, n_full / (time.time() - t0 - floor))
         result["fps_full_bank"] = round(fps_full, 3)
         print(json.dumps(result), flush=True)
     else:
@@ -331,7 +340,8 @@ def measure_batched(model, variables, budget, res_hw, operating,
         state = engine.bootstrap(first, [mask0] * streams)
         for i in range(2):
             state, labels = engine.step(state, frames[i % len(frames)], i + 1)
-        jax.block_until_ready(labels)
+        from vfloodnet_tpu.utils import force as _force
+        _force(labels)   # drain warmup before the timed stream (relay-lazy)
         writes, pending = [], None
         t0 = time.time()
         for t in range(n_steps):

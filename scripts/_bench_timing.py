@@ -2,11 +2,22 @@
 
 The axon relay dedupes repeated identical executions and resolves
 ``block_until_ready`` before remote completion, so back-to-back identical
-calls measure ~0 ms. Feeding a scalar carry from each call into the next
-forces true serialization; one ``float()`` at the end is the only D2H sync.
+calls measure ~0 ms. (Verified round 3: a chained 8192^3 bf16 matmul
+"measures" 0.04 ms under block_until_ready — 30 PFLOP/s, 150x chip peak —
+while a forced scalar fetch shows the true ~5.5 ms ≈ 200 TFLOP/s.)
+Feeding a carry from each call into the next forces true serialization;
+one D2H fetch at the end is the only honest sync. Any timing that ends at
+``block_until_ready`` measures dispatch, not compute.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vfloodnet_tpu.utils.profiling import force, fetch_floor  # noqa: F401
+
 
 
 def timeit(fn, *args, iters=20):

@@ -38,24 +38,35 @@ RES = (1080, 1920)
 OPERATING = 480
 BUDGET = 250_000
 REPS = int(os.environ.get("VFLOOD_BENCH_REPEATS", "5"))
-STEPS = 6   # frames timed per rep (amortizes per-dispatch RPC)
+STEPS = 16  # frames per timed chain (amortizes the forced-fetch floor)
 # 'auto' | 'none' | 'device' — 'none' isolates the seg+bank transition from
 # the largest-CC stage when diagnosing batched-vs-single scaling.
 POSTPROCESS = os.environ.get("VFLOOD_BENCH_POSTPROCESS", "auto")
 
 
 def time_steps(step_fn, state, frames_dev, fidx0):
+    """Per-step device time: STEPS state-chained steps forced by ONE
+    scalar fetch of the final label, minus the calibrated D2H floor.
+    ``block_until_ready`` is a dispatch fence only on the axon relay
+    (scripts/_bench_timing.py) — the old version of this function timed
+    dispatch+H2D, which is what produced the bogus day-6 "anomaly"."""
+    from _bench_timing import fetch_floor, force
+
     best = float("inf")
+    st = jax.tree.map(jnp.copy, state)       # step donates its state
+    st, lab = step_fn(st, frames_dev[0], jnp.float32(fidx0))
+    force(lab)                               # warm: compile + real exec
+    floor = fetch_floor(lab)
     for _ in range(REPS):
-        st = jax.tree.map(jnp.copy, state)   # step donates its state
-        st, lab = step_fn(st, frames_dev[0], jnp.float32(fidx0))
-        jax.block_until_ready(lab)           # warm (compile + first run)
+        st = jax.tree.map(jnp.copy, state)   # same early-bank regime per rep
+        for leaf in jax.tree_util.tree_leaves(st):
+            force(leaf)  # materialize every copy OUTSIDE the timed chain
         t0 = time.time()
         for i in range(STEPS):
             st, lab = step_fn(st, frames_dev[i % len(frames_dev)],
                               jnp.float32(fidx0 + 1 + i))
-        jax.block_until_ready(lab)
-        best = min(best, (time.time() - t0) / STEPS)
+        force(lab)                           # executes the whole chain
+        best = min(best, (time.time() - t0 - floor) / STEPS)
     return best * 1000.0
 
 
@@ -69,11 +80,20 @@ def main():
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((48, 64, 3)),
                                jnp.zeros((2, 48, 64)), method=model.init_all)
         variables = cast_floating_params(variables, jnp.bfloat16)
+        weights = "random-init"
     else:
         # Bundled trained demo checkpoint when present (same policy as
         # bench.py) — representative blob masks, representative CC cost.
-        from vfloodnet_tpu.pipelines.loaders import load_afb_urr
+        # load_afb_urr falls back to random init with a warning when the
+        # checkpoint is absent; report which regime actually ran so
+        # checkpoint-less results aren't mistaken for production numbers
+        # (advisor round-2 item).
+        from vfloodnet_tpu.pipelines.loaders import default_checkpoint, \
+            load_afb_urr
         model, variables = load_afb_urr(None, dtype=jnp.bfloat16)
+        weights = ("trained-demo" if default_checkpoint("video")
+                   else "random-init (no bundled checkpoint!)")
+    print(f"weights: {weights}  postprocess: {POSTPROCESS}")
 
     rng = np.random.RandomState(0)
     mask0 = np.zeros(RES, np.uint8)

@@ -38,15 +38,11 @@ REPS = int(os.environ.get("VFLOOD_BENCH_REPEATS", "3"))
 
 
 def timeit(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.time()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.time() - t0)
-    return best * 1000.0
+    # honest chained-carry timing (_bench_timing: the relay dedupes
+    # identical calls and block_until_ready is a dispatch fence only);
+    # best-of-REPS retained as relay-noise control
+    from _bench_timing import timeit as _timeit
+    return min(_timeit(fn, *args, iters=8) for _ in range(REPS))
 
 
 def main():

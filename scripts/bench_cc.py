@@ -36,16 +36,12 @@ def main():
     print("platform:", jax.devices()[0].platform)
     rng = np.random.RandomState(0)
     fn = jax.jit(largest_connected_component)
+    from _bench_timing import timeit
     for (h, w) in [(480, 854), (240, 427)]:
         for name, m in masks_for(h, w, rng).items():
             x = jnp.asarray(m)
-            out = fn(x)
-            jax.block_until_ready(out)       # compile
-            t0 = time.time()
-            for _ in range(10):
-                out = fn(x)
-            jax.block_until_ready(out)
-            ms = (time.time() - t0) / 10 * 1000.0
+            out = fn(x)                      # sample output for `kept`
+            ms = timeit(fn, x, iters=10)     # honest chained-carry timing
             print(f"largest_cc {h}x{w} {name:8s} {ms:7.2f} ms  "
                   f"kept={int(np.asarray(out).sum())}")
 

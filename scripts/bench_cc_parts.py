@@ -17,15 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 print = functools.partial(print, flush=True)
 
 
-def timeit(fn, *args, iters=20):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters * 1000.0
+# honest chained-carry timing: repeated identical calls are deduped by the
+# relay and block_until_ready is only a dispatch fence (_bench_timing.py)
+from _bench_timing import timeit  # noqa: E402
 
 
 def main():

@@ -56,8 +56,11 @@ def main():
             else:
                 m = (rng.rand(h, w) > (1 - p)).astype(np.uint8)
             masks.append(jnp.asarray(m))
-        # warm compile
-        out = full(masks[0]); jax.block_until_ready(out)
+        # warm compile (force = honest sync; block_until_ready is a
+        # dispatch fence only on the relay, _bench_timing.py)
+        from _bench_timing import fetch_floor, force
+        out = full(masks[0]); force(out)
+        floor = fetch_floor(out)
         _, it = cc_with_iters(masks[0]); int(it)
 
         # per-call sync, distinct inputs
@@ -65,8 +68,8 @@ def main():
         for m in masks:
             t0 = time.time()
             out = full(m)
-            jax.block_until_ready(out)
-            ts.append(time.time() - t0)
+            force(out)
+            ts.append(time.time() - t0 - floor)
         # iteration counts
         its = [int(cc_with_iters(m)[1]) for m in masks]
         # same-input async loop (old methodology) for comparison

@@ -48,9 +48,10 @@ def main():
         model = GeneralizedRCNN(cfg)
         init = jax.jit(lambda key, im, model=model:
                        model.init(key, im, method=model.init_all))
+        from _bench_timing import force
         t0 = time.time()
         variables = init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)))
-        jax.block_until_ready(variables)
+        force(variables)   # real sync (relay-lazy block_until_ready)
         print(f"{name}: init {time.time() - t0:.1f}s")
 
         detector = build_detector(cfg, variables)

@@ -23,15 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 print = functools.partial(print, flush=True)
 
 
-def timeit(fn, *args, iters=10):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters * 1000.0
+# honest chained-carry timing: repeated identical calls are deduped by the
+# relay and block_until_ready is only a dispatch fence (_bench_timing.py)
+from _bench_timing import timeit  # noqa: E402
 
 
 def main():
@@ -166,20 +160,19 @@ def main():
     print(f"cc (half-res + up)     {timeit(cc, label_full, label_small):7.2f} ms")
     print(f"pack_bits              {timeit(packf, label_full):7.2f} ms")
 
-    # whole fused step for reference (graph identical to bench.py's)
-    def whole(state, frame_u8):
-        return engine._step(state, frame_u8, jnp.float32(7.0))
-    # no donation reuse issues: rebuild state each call is too slow; donate
-    # means state buffer is consumed -- run with donation by chaining.
+    # whole fused step for reference (graph identical to bench.py's):
+    # state-chained with one forced fetch at the end minus the D2H floor
+    from _bench_timing import fetch_floor, force
     out = engine._step(state, frame_u8, jnp.float32(7.0))
-    jax.block_until_ready(out[1])
+    force(out[1])
+    floor = fetch_floor(out[1])
     st = out[0]
     t0 = time.time()
     n = 10
     for i in range(n):
         st, lab, _ = engine._step(st, frame_u8, jnp.float32(8.0 + i))
-    jax.block_until_ready(lab)
-    print(f"whole fused step       {(time.time()-t0)/n*1000.0:7.2f} ms")
+    force(lab)
+    print(f"whole fused step       {(time.time()-t0-floor)/n*1000.0:7.2f} ms")
 
 
 if __name__ == "__main__":

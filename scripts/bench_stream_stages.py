@@ -59,7 +59,11 @@ def run_loop(engine, state0, frames, mode: str, tmpdir: str) -> float:
         _write(*pending)
     for w in writes:
         w.result()
-    label.block_until_ready()
+    if mode in ("steps", "+async"):
+        # no per-frame fetch happened: force the chain (block_until_ready
+        # is a dispatch fence only on the relay, _bench_timing.py)
+        from _bench_timing import force
+        force(label)
     total = time.time() - t0
     writer.shutdown()
     return N_FRAMES / total
@@ -91,17 +95,18 @@ def main():
               for _ in range(4)]
 
     # compile once
+    from _bench_timing import force
     state = engine.bootstrap(frame0, mask0)
     for i in range(3):
         state, label = engine.step(state, frames[i % 4], i + 1)
-    label.block_until_ready()
+    force(label)
 
     tmpdir = tempfile.mkdtemp(prefix="bench_stream_")
     for mode in ("steps", "+async", "+fetch", "+write"):
         st = engine.bootstrap(frame0, mask0)
         for i in range(3):
             st, lab = engine.step(st, frames[i % 4], i + 1)
-        lab.block_until_ready()
+        force(lab)    # drain warmup before the timed loop
         fps = run_loop(engine, st, frames, mode, tmpdir)
         print(f"  {mode:7s} {fps:7.2f} fps  ({1000.0 / fps:6.1f} ms/frame)")
 

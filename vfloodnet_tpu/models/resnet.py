@@ -34,6 +34,9 @@ class FrozenBN(nn.Module):
     without this)."""
     dtype: Any = jnp.float32
     momentum: float = 0.9
+    # torch BatchNorm2d default; efficientnet-pytorch (the reference smp
+    # encoder) uses 1e-3 — LinkNetSMP passes that through.
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
@@ -55,7 +58,7 @@ class FrozenBN(nn.Module):
             var_v.value = m * var_v.value + (1.0 - m) * var
         else:
             mean, var = mean_v.value, var_v.value
-        inv = scale * jnp.reciprocal(jnp.sqrt(var + 1e-5))
+        inv = scale * jnp.reciprocal(jnp.sqrt(var + self.eps))
         return ((x.astype(jnp.float32) - mean) * inv + bias).astype(self.dtype)
 
 
