@@ -30,32 +30,87 @@ def main():
 
     enable_compilation_cache()
     print("platform:", jax.devices()[0].platform)
-    h, w = 480, 854
-    n = h * w
-    rng = np.random.RandomState(0)
-    speckle = (rng.rand(h, w) > 0.5).astype(np.uint8)
-    fg = jnp.asarray(speckle.astype(bool))
-    init = jnp.where(fg, jnp.arange(n, dtype=jnp.int32).reshape(h, w),
-                     2**30)
 
-    sweep = jax.jit(cc._sweep)
-    print(f"one sweep            {timeit(sweep, init, fg):7.3f} ms")
+    def masks_for(h, w, rng):
+        speckle = (rng.rand(h, w) > 0.5).astype(np.uint8)
+        blob = (np.cumsum(rng.randn(h, w), axis=0) > 0).astype(np.uint8)
+        # production-shaped: one big water blob + a few tiny false blobs
+        prod = np.zeros((h, w), np.uint8)
+        prod[h // 2:, :] = 1
+        for _ in range(6):
+            y, x = rng.randint(0, h // 2), rng.randint(0, w - 8)
+            prod[y:y + 4, x:x + 6] = 1
+        return {"speckle": speckle, "blob": blob, "prod": prod}
 
-    flat = jnp.arange(n, dtype=jnp.int32)
-    idx = jnp.asarray(rng.randint(0, n, n).astype(np.int32))
+    def size_count(labels):
+        """The sort+run-length largest-label part of
+        largest_connected_component, isolated."""
+        h, w = labels.shape
+        n = h * w
+        flat = jnp.where(labels >= 0, labels, n).reshape(-1)
+        s = jnp.sort(flat)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        change = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+        run_start = jax.lax.cummax(jnp.where(change, pos, 0))
+        next_start = jax.lax.cummin(jnp.where(change, pos, n), reverse=True)
+        run_end = jnp.concatenate([next_start[1:],
+                                   jnp.full((1,), n, jnp.int32)])
+        run_size = jnp.where(jnp.logical_and(change, s < n),
+                             run_end - run_start, 0)
+        return s[jnp.argmax(run_size)]
 
-    gather = jax.jit(lambda f, i: f[i])
-    print(f"random gather 410k   {timeit(gather, flat, idx):7.3f} ms")
+    def cc_iters(mask):
+        """Converged sweep count of the fixpoint loop."""
+        h, w = mask.shape
+        fg = mask.astype(bool)
+        init = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+                + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
+        init = jnp.where(fg, init, 2**30)
 
-    gsort = jax.jit(lambda f, i: jnp.sort(i))
-    print(f"sort 410k i32        {timeit(gsort, flat, idx):7.3f} ms")
+        def cond(st):
+            labels, prev, it = st
+            return jnp.logical_and(it < 64, jnp.any(labels != prev))
 
-    take_sorted = jax.jit(lambda f, i: jnp.take(f, i, indices_are_sorted=True))
-    sidx = jnp.sort(idx)
-    print(f"sorted gather 410k   {timeit(take_sorted, flat, sidx):7.3f} ms")
+        def body(st):
+            labels, _, it = st
+            return cc._sweep(labels, fg), labels, it + 1
 
+        first = cc._sweep(init, fg)
+        _, _, it = jax.lax.while_loop(cond, body,
+                                      (first, init, jnp.int32(1)))
+        return it
+
+    labels_fn = jax.jit(cc.connected_components)
     full = jax.jit(cc.largest_connected_component)
-    print(f"largest_cc speckle   {timeit(full, jnp.asarray(speckle), iters=5):7.3f} ms")
+    sizes = jax.jit(size_count)
+    sweep = jax.jit(cc._sweep)
+    iters_fn = jax.jit(cc_iters)
+
+    for (h, w) in [(240, 427), (480, 854)]:
+        n = h * w
+        rng = np.random.RandomState(0)
+        print(f"--- {h}x{w} ({n/1e3:.0f}k px) ---")
+        fg_s = jnp.asarray((rng.rand(h, w) > 0.5))
+        init = jnp.where(fg_s, jnp.arange(n, dtype=jnp.int32).reshape(h, w),
+                         2**30)
+        print(f"one sweep            {timeit(sweep, init, fg_s):7.3f} ms")
+
+        flat = jnp.arange(n, dtype=jnp.int32)
+        idx = jnp.asarray(rng.randint(0, n, n).astype(np.int32))
+        gather = jax.jit(lambda f, i: f[i])
+        print(f"random gather        {timeit(gather, flat, idx):7.3f} ms")
+        gsort = jax.jit(lambda f, i: jnp.sort(i))
+        print(f"sort i32             {timeit(gsort, flat, idx):7.3f} ms")
+
+        for name, m in masks_for(h, w, rng).items():
+            x = jnp.asarray(m)
+            it = int(iters_fn(x))
+            t_lab = timeit(labels_fn, x, iters=5)
+            lab = labels_fn(x)
+            t_size = timeit(sizes, lab, iters=5)
+            t_full = timeit(full, x, iters=5)
+            print(f"{name:8s} iters={it:2d}  labels {t_lab:7.2f} ms  "
+                  f"size-count {t_size:7.2f} ms  full {t_full:7.2f} ms")
 
 
 if __name__ == "__main__":

@@ -10,9 +10,18 @@ and (b) full row/column cumulative-min sweeps in both directions, which
 propagate labels along the whole row/column in one step. Convergence for
 natural blob-shaped masks takes only a few sweeps; a ``lax.while_loop`` runs
 until fixpoint.
+
+Cost notes (TPU, 240x427, measured round 3 with forced-fetch timing): one
+sweep ~2.9 ms before hoisting, production blob masks converge in 2 sweeps,
+percolation speckle in ~15. The segment-id scans are loop-INVARIANT (they
+depend only on ``fg``), so they are computed once outside the while_loop —
+each sweep then costs 4 cummax + elementwise + 2 gathers instead of
+4 (cumsum + cummax).
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +29,33 @@ import jax.numpy as jnp
 _INF = 2**30  # python int: avoid creating device constants at import time
 
 
-def _sweep(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
-    """One relaxation sweep: 8-neighbour min then 4-direction scanline cummin."""
+def _segment_encodings(fg: jnp.ndarray):
+    """Per-direction segment encodings for the scanline cummin, hoisted out
+    of the fixpoint loop (they depend only on the foreground mask).
+
+    Returns {(axis, reverse): seg_scaled} with
+    ``seg_scaled = segment_id * base`` — the additive offset that makes a
+    single ``cummax`` act as a segmented max within runs of foreground.
+    """
+    h, w = fg.shape
+    base = jnp.int32(h * w + 1)
+    out = {}
+    resets = (~fg).astype(jnp.int32)
+    for axis in (0, 1):
+        seg_f = jnp.cumsum(resets, axis=axis, dtype=jnp.int32)
+        tot = jnp.take(seg_f, -1, axis=axis)
+        seg_r = (jnp.expand_dims(tot, axis) - seg_f) + resets
+        out[(axis, False)] = seg_f * base
+        out[(axis, True)] = seg_r * base
+    return out
+
+
+def _sweep(labels: jnp.ndarray, fg: jnp.ndarray, seg_enc=None) -> jnp.ndarray:
+    """One relaxation sweep: 8-neighbour min then 4-direction scanline cummin.
+
+    ``seg_enc``: optional precomputed :func:`_segment_encodings` (the
+    fixpoint loop passes it; standalone callers may omit it).
+    """
     h, w = labels.shape
     big = jnp.where(fg, labels, _INF)
 
@@ -46,6 +80,8 @@ def _sweep(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
     # (~>1M px) take the exact (value, reset)-pair associative_scan instead —
     # the encoding would silently wrap int32 and corrupt labels.
     offset_safe = (max(h, w) + 2) * (h * w + 1) < 2**31
+    if offset_safe and seg_enc is None:
+        seg_enc = _segment_encodings(fg)
 
     def run_cummin(x, axis, reverse):
         if not offset_safe:
@@ -59,20 +95,15 @@ def _sweep(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
             v, _ = jax.lax.associative_scan(combine, (vals, ~fg), axis=axis,
                                             reverse=reverse)
             return jnp.where(fg, v, _INF)
-        # Segmented cummin (resets at background) via ONE cumsum + ONE
-        # native cummax of single int32 arrays — measured ~15% faster on
-        # TPU than the pair associative_scan above. Encoding:
+        # Segmented cummin (resets at background) via ONE native cummax of a
+        # single int32 array — the segment-id offsets are precomputed once
+        # per CC call (loop-invariant). Encoding:
         # enc = seg_id*base + (base-1-label); within a segment the cummax
         # selects the minimal label, and any earlier segment's enc is
         # strictly below the current segment's base.
         base = jnp.int32(h * w + 1)
-        resets = (~fg).astype(jnp.int32)
-        seg = jnp.cumsum(resets, axis=axis, dtype=jnp.int32)
-        if reverse:
-            tot = jnp.take(seg, -1, axis=axis)
-            seg = (jnp.expand_dims(tot, axis) - seg) + resets
-        enc = seg * base + (base - 1 -
-                            jnp.where(fg, x, base - 1).astype(jnp.int32))
+        enc = seg_enc[(axis, reverse)] + (
+            base - 1 - jnp.where(fg, x, base - 1).astype(jnp.int32))
         m = jax.lax.cummax(enc, axis=axis, reverse=reverse)
         dec = base - 1 - (m % base)
         return jnp.where(fg, jnp.minimum(x, dec), _INF)
@@ -116,16 +147,19 @@ def connected_components(mask: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
             + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
     init = jnp.where(fg, init, _INF)
 
+    offset_safe = (max(h, w) + 2) * (h * w + 1) < 2**31
+    seg_enc = _segment_encodings(fg) if offset_safe else None
+
     def cond(state):
         labels, prev, it = state
         return jnp.logical_and(it < max_iters, jnp.any(labels != prev))
 
     def body(state):
         labels, _, it = state
-        new = _sweep(labels, fg)
+        new = _sweep(labels, fg, seg_enc)
         return new, labels, it + 1
 
-    first = _sweep(init, fg)
+    first = _sweep(init, fg, seg_enc)
     labels, _, _ = jax.lax.while_loop(cond, body, (first, init, jnp.int32(1)))
     return jnp.where(fg, labels, -1)
 
