@@ -91,14 +91,28 @@ class LinkNet(nn.Module):
 
 def load_linknet(model_path: Optional[str] = None,
                  dtype=jnp.float32) -> Tuple[LinkNet, dict]:
-    """Build LinkNet and load weights (orbax checkpoint dir); random init
-    with a warning if missing."""
+    """Build LinkNet and load weights (flat .npz or orbax checkpoint dir);
+    random init with a warning if missing.
+
+    A ``.pth`` path is treated as the reference's pickled smp
+    ``Linknet(efficientnet-b4)`` (test_image_seg.py:133): its weights are
+    converted and the smp-layout-faithful :class:`LinkNetSMP` variant is
+    returned instead of the TPU-first decoder."""
+    import os
+
+    if model_path and model_path.endswith(".pth") \
+            and os.path.exists(model_path):
+        from ..core.convert import convert_smp_linknet_pickle
+        from .linknet_smp import LinkNetSMP
+        variables = convert_smp_linknet_pickle(model_path)
+        variables = jax.tree.map(jnp.asarray, variables)
+        return LinkNetSMP(dtype=dtype), variables
+
     model = LinkNet(dtype=dtype)
 
     def _random_init():
         return model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
-    import os
     from ..pipelines.loaders import default_checkpoint
     if model_path is None:
         model_path = default_checkpoint("image")
