@@ -96,6 +96,11 @@ def main():
     print(f"weights: {weights}  postprocess: {POSTPROCESS}")
 
     rng = np.random.RandomState(0)
+    # bundled real frames -> production blob masks -> representative
+    # largest-CC fixpoint trip counts (noise frames cost ~15 sweeps vs
+    # 2-7 for blobs; docs/ROADMAP.md day-7)
+    from bench import _bench_frames
+    base = _bench_frames(RES, rng, n=8)
     mask0 = np.zeros(RES, np.uint8)
     mask0[RES[0] // 2:, :] = 1
 
@@ -103,9 +108,8 @@ def main():
     fb1 = FeatureBank(obj_n=2, memory_budget=BUDGET, dtype=jnp.bfloat16)
     eng1 = VideoSegEngine(model, variables, fb1, downsample=OPERATING,
                           postprocess=POSTPROCESS)
-    st1 = eng1.bootstrap(rng.rand(*RES, 3).astype(np.float32), mask0)
-    f1 = [jax.device_put((rng.rand(*RES, 3) * 255).astype(np.uint8))
-          for _ in range(2)]
+    st1 = eng1.bootstrap(base[0].astype(np.float32) / 255.0, mask0)
+    f1 = [jax.device_put(f) for f in base[1:3]]
 
     def step1(st, f, idx):
         st, lab, _ = eng1._step(st, f, idx)
@@ -120,11 +124,11 @@ def main():
         eng = BatchVideoSegEngine(model, variables, fb, batch=B,
                                   downsample=OPERATING,
                                   postprocess=POSTPROCESS)
-        state = eng.bootstrap([rng.rand(*RES, 3).astype(np.float32)
-                               for _ in range(B)], [mask0] * B)
-        frames = [jax.device_put(
-            (rng.rand(B, *RES, 3) * 255).astype(np.uint8))
-            for _ in range(2)]
+        state = eng.bootstrap([base[s % len(base)].astype(np.float32) / 255.0
+                               for s in range(B)], [mask0] * B)
+        frames = [jax.device_put(np.stack(
+            [base[(t + 1 + s) % len(base)] for s in range(B)]))
+            for t in range(2)]
         ms = time_steps(eng._step, state, frames, 5)
         print(f"B={B}: {ms:.2f} ms/step = {ms / B:.2f} ms/frame "
               f"-> {1000.0 * B / ms:.1f} fps aggregate "
