@@ -34,6 +34,7 @@ STOPSIGN_CONF_THRES = 0.5
 PEOPLE_CONF_THRES = 0.7
 PEOPLE_BOX_SCORE_MIN = 0.9
 STOPSIGN_COCO_CLASS = 11  # COCO class index for stop sign
+PERSON_COCO_CLASS = 0     # COCO class index for person
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,7 +19,8 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ..core.config import STOPSIGN_COCO_CLASS, WATER_LABEL_ID
+from ..core.config import (PERSON_COCO_CLASS, STOPSIGN_COCO_CLASS,
+                           WATER_LABEL_ID)
 
 GT_CAP = 8      # fixed GT capacity per image (static shapes)
 
@@ -113,6 +114,119 @@ def render_stopsign_scene(rng: np.random.Generator, size: int = 320,
     return {"image": img, "boxes": boxes, "classes": classes,
             "masks": masks, "valid": valid, "water_mask": water_mask,
             "pole_bottom": pole_bottom}
+
+
+def render_person_scene(rng: np.random.Generator, size: int = 320,
+                        water_level: Optional[float] = None
+                        ) -> Dict[str, np.ndarray]:
+    """One synthetic standing-person scene (people-depth analogue of
+    :func:`render_stopsign_scene`; reference people path:
+    estimation/object_detection.py:191-243,319-398).
+
+    A person = head (circle) + torso (rounded rectangle) + two legs + two
+    arms in contrasting clothing colours, feet on the ground line. GT =
+    person bbox + silhouette mask + COCO class 0. ``water_level`` (0..1
+    fraction of the image height from the bottom) adds a water band that
+    partially submerges the legs. Extra keys ``head_y``/``feet_y`` give the
+    true body extent for regressor training / eval.
+    """
+    import cv2
+
+    s = size
+    t = np.linspace(0.0, 1.0, s, dtype=np.float32)[:, None]
+    sky = np.array([210.0, 170.0, 130.0], np.float32)
+    ground = np.array([70.0, 95.0, 85.0], np.float32)
+    img = sky[None, None] * (1 - t[..., None]) \
+        + ground[None, None] * t[..., None]
+    img = img + rng.normal(0.0, 12.0, (s, s, 3)).astype(np.float32)
+
+    # body proportions (head:torso:legs ~ 1:3:4 of total height)
+    height = float(rng.uniform(0.45, 0.7)) * s
+    cx = float(rng.uniform(0.3, 0.7)) * s
+    feet_y = float(rng.uniform(0.78, 0.95)) * s
+    head_y = feet_y - height
+    head_r = height * 0.065
+    torso_w = height * float(rng.uniform(0.16, 0.22))
+    torso_top = head_y + 2.2 * head_r
+    torso_bot = head_y + height * 0.52
+    leg_w = torso_w * 0.38
+
+    skin = (150.0, 170.0, 210.0)                      # BGR skin-ish
+    shirt = tuple(float(c) for c in rng.uniform(40, 230, 3))
+    pants = tuple(float(c) for c in rng.uniform(20, 120, 3))
+
+    mask = np.zeros((s, s), np.uint8)
+
+    def draw(shape, *args, color=None):
+        shape(img, *args, color, -1)
+        shape(mask, *args, 1, -1)
+
+    # legs (slight stance spread)
+    spread = leg_w * float(rng.uniform(0.6, 1.2))
+    for sgn in (-1.0, 1.0):
+        x0 = int(cx + sgn * spread - leg_w / 2)
+        x1 = int(cx + sgn * spread + leg_w / 2)
+        draw(cv2.rectangle, (x0, int(torso_bot)), (x1, int(feet_y)),
+             color=pants)
+    # torso
+    draw(cv2.rectangle, (int(cx - torso_w), int(torso_top)),
+         (int(cx + torso_w), int(torso_bot)), color=shirt)
+    # arms (straight down from the shoulders)
+    arm_w = max(2, int(leg_w * 0.7))
+    for sgn in (-1.0, 1.0):
+        ax = int(cx + sgn * (torso_w + arm_w * 0.6))
+        draw(cv2.rectangle, (ax - arm_w // 2, int(torso_top + head_r)),
+             (ax + arm_w // 2, int(torso_bot)), color=skin)
+    # head
+    draw(cv2.circle, (int(cx), int(head_y + head_r)), int(head_r),
+         color=skin)
+
+    water_mask = np.zeros((s, s), np.uint8)
+    if water_level is not None:
+        wy = int(round(s * (1.0 - water_level)))
+        water_mask[wy:, :] = WATER_LABEL_ID
+        img[wy:, :] = (np.array([150.0, 90.0, 40.0], np.float32)[None, None]
+                       + rng.normal(0.0, 10.0, (s - wy, s, 3)))
+
+    img = np.clip(img, 0.0, 255.0).astype(np.float32)
+
+    ys, xs = np.nonzero(mask)
+    box = np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1],
+                   np.float32)
+
+    boxes = np.zeros((GT_CAP, 4), np.float32)
+    classes = np.zeros((GT_CAP,), np.int32)
+    masks = np.zeros((GT_CAP, s, s), np.float32)
+    valid = np.zeros((GT_CAP,), bool)
+    boxes[0] = box
+    classes[0] = PERSON_COCO_CLASS
+    masks[0] = mask.astype(np.float32)
+    valid[0] = True
+
+    return {"image": img, "boxes": boxes, "classes": classes,
+            "masks": masks, "valid": valid, "water_mask": water_mask,
+            "head_y": np.float32(head_y), "feet_y": np.float32(feet_y)}
+
+
+class SyntheticPeopleDataset:
+    """BatchLoader-compatible view over :func:`render_person_scene`."""
+
+    def __init__(self, n: int = 512, size: int = 320, seed: int = 0):
+        self.n = n
+        self.size = size
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def get(self, idx: int, epoch: int = 0):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed + 7, epoch, idx]))
+        sc = render_person_scene(rng, self.size)
+        return (sc["image"], sc["boxes"], sc["classes"], sc["masks"],
+                sc["valid"].astype(np.float32))
+
+    __getitem__ = get
 
 
 class SyntheticStopsignDataset:

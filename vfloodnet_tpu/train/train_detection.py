@@ -283,3 +283,15 @@ def tiny_stopsign_config(image_size: int = 320) -> RCNNConfig:
                       score_thresh=0.5, post_nms_topk=256,
                       max_detections=16, test_short_side=image_size,
                       test_max_side=image_size * 2)
+
+
+def tiny_people_config(image_size: int = 320) -> RCNNConfig:
+    """Synthetic-trainable person detector for the people-depth chain
+    (reference: Keypoint R-CNN boxes, estimation/object_detection.py:
+    269-281 — the depth path consumes only the person BOXES, :191-243, so
+    the tiny variant trains the box head; keypoints stay off)."""
+    return RCNNConfig(blocks=(1, 1, 1, 1), num_classes=80,
+                      with_masks=True, with_pointrend=False,
+                      score_thresh=0.5, post_nms_topk=256,
+                      max_detections=16, test_short_side=image_size,
+                      test_max_side=image_size * 2)
