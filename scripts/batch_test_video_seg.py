@@ -25,10 +25,10 @@ def main():
     p.add_argument("--streams", type=int, default=1,
                    help="Propagate this many same-resolution videos "
                         "simultaneously (one vmapped device step).")
-    p.add_argument("--cc-scale", type=int, default=2,
+    p.add_argument("--cc-scale", type=int, default=4,
                    help="Device largest-CC runs at 1/K of the operating "
-                        "resolution (2 = default; 4 saves ~7 ms/frame at "
-                        ">=99.96%% mask agreement).")
+                        "resolution (4 = default: IoU >= 0.9999 vs "
+                        "full-res CC with dilated keep-mask).")
     p.add_argument("--memorize-every", type=int, default=1,
                    help="Memorize/bank-update every Kth frame (1 = every "
                         "frame, matching the reference; >1 trades a little "

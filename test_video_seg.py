@@ -49,10 +49,10 @@ def get_args():
                         help="Memorize/update the bank only every K-th "
                              "frame (1 = reference behaviour; >1 trades "
                              "some accuracy for throughput)")
-    parser.add_argument("--cc-scale", type=int, default=2,
+    parser.add_argument("--cc-scale", type=int, default=4,
                         help="Device largest-CC runs at 1/K of the "
-                             "operating resolution (2 = default; 4 saves "
-                             "~7 ms/frame at >=99.96%% mask agreement)")
+                             "operating resolution (4 = default: IoU >= "
+                             "0.9999 vs full-res CC with dilated keep-mask)")
     parser.add_argument("--test-path", type=str, required=True,
                         help="Video frames directory")
     parser.add_argument("--test-name", type=str, required=True,
