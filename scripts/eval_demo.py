@@ -1,10 +1,16 @@
 """Evaluate the trained demo checkpoints on the bundled demo assets.
 
-Prints per-image IoU for the image model (on its training stills — overfit
-sanity) and per-frame propagation IoU for the video model on the 8-frame
-lake clip vs the committed GT (records/demo_eval), then regenerates the
-trained-weights golden (tests/golden/demo_lake_golden.npz) used by
-tests/test_demo_e2e.py.
+Prints per-image IoU for the image model (training stills — overfit
+sanity — AND held-out augmented variants, see ``eval_image_holdout``) and
+per-frame propagation IoU for the video model on the 8-frame lake clip vs
+the committed GT (records/demo_eval), then regenerates the trained-weights
+golden (tests/golden/demo_lake_golden.npz) used by tests/test_demo_e2e.py.
+
+Held-out structure (VERDICT round-2 next #5): image training only ever saw
+epoch seeds < ~1e5, so augmented variants drawn at epoch >= 1e6 are
+guaranteed-unseen draws of the SAME transform stack (jitter/affine/crop);
+the video model trains on synthetic clips from the 3 stills, so real lake
+frames 1-7 are themselves held-out inputs (only frame 0 was trained on).
 
 Run after scripts/train_demo_checkpoints.py.
 """
@@ -60,6 +66,34 @@ def eval_image():
     return ious
 
 
+def eval_image_holdout(n_variants: int = 4):
+    """Held-out image accuracy: never-seen augmentation draws (epoch seeds
+    >= 1e6) of the demo stills, evaluated with the pipeline's forward +
+    threshold + largest-CC cleanup at the 320px training operating point."""
+    import jax.numpy as jnp
+
+    from vfloodnet_tpu.data import WaterImageDataset
+    from vfloodnet_tpu.models.linknet import load_linknet
+    from vfloodnet_tpu.pipelines.video_seg import host_largest_cc
+
+    model, variables = load_linknet(None)
+    apply = jax.jit(lambda img: model.apply(variables, img))
+    ds = WaterImageDataset("train_offline", TRAIN, input_size=320)
+    ious = {}
+    for idx in range(len(ds)):
+        for v in range(n_variants):
+            img, gt = ds.get(idx, epoch=1_000_000 + v)
+            prob = np.asarray(apply(jnp.asarray(img)[None]))[0, ..., 0]
+            pred = host_largest_cc((prob > 0.5).astype(np.uint8))
+            ious[f"still{idx}/heldout{v}"] = iou(pred, gt)
+    for k, v in ious.items():
+        print(f"held-out image IoU {k}: {v:.4f}")
+    vals = np.array(list(ious.values()))
+    print(f"held-out image IoU mean: {vals.mean():.4f}, "
+          f"min: {vals.min():.4f}")
+    return ious
+
+
 def eval_video(downsample=240):
     """240px operating point matches training + tests/test_demo_e2e.py
     (the golden must be generated at the same operating point)."""
@@ -112,5 +146,7 @@ if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("image", "all"):
         eval_image()
+    if what in ("holdout", "image", "all"):
+        eval_image_holdout()
     if what in ("video", "all"):
         eval_video()

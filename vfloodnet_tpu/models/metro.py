@@ -348,6 +348,16 @@ def load_default_mesh_regressor(model_path: Optional[str] = None):
     import os
 
     path = model_path or "records/bodymesh_tpu"
+    if not model_path and not os.path.exists(path):
+        # bundled synthetic-trained regressor (scripts/train_people_chain.py)
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        base = os.path.join(repo, "records", "checkpoints", "bodymesh")
+        for demo in (os.path.join(base, "best.npz"),
+                     os.path.join(base, "best")):
+            if os.path.exists(demo):
+                path = demo
+                break
 
     if path and os.path.isfile(path) and path.endswith((".bin", ".pth")):
         import torch
@@ -385,7 +395,11 @@ def load_default_mesh_regressor(model_path: Optional[str] = None):
         return regressor
 
     model = BodyMeshRegressor()
-    if path and os.path.isdir(path):
+    if path and path.endswith(".npz") and os.path.isfile(path):
+        # flat fast-load file (core/checkpoint.py): no dummy init needed
+        from ..core.checkpoint import load_flat_npz
+        variables = load_flat_npz(path)
+    elif path and os.path.isdir(path):
         from ..core.checkpoint import restore_checkpoint
         dummy = model.init(jax.random.PRNGKey(0), jnp.zeros((224, 224, 3)))
         variables = restore_checkpoint(path, target=dummy)
