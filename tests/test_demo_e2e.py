@@ -62,6 +62,32 @@ def test_image_model_segments_demo_stills(tmp_path):
         assert score >= IMAGE_IOU_MIN, (img_path, score)
 
 
+@needs_image
+def test_image_model_generalizes_to_heldout_augments():
+    """Held-out accuracy (VERDICT round-2 next #5): augmentation draws at
+    epoch seeds >= 1e6 are guaranteed-unseen (training schedules stay below
+    ~1e5), evaluated with the pipeline's forward + threshold + largest-CC
+    at the 320px training operating point. Threshold from measurement
+    (scripts/eval_demo.py holdout): 12 held-out variants scored mean
+    0.986 / min 0.955 IoU; 0.85 leaves numeric-platform margin."""
+    import jax
+    import jax.numpy as jnp
+
+    from vfloodnet_tpu.data import WaterImageDataset
+    from vfloodnet_tpu.models.linknet import load_linknet
+    from vfloodnet_tpu.pipelines.video_seg import host_largest_cc
+
+    model, variables = load_linknet(None)
+    apply = jax.jit(lambda img: model.apply(variables, img))
+    ds = WaterImageDataset("train_offline", TRAIN, input_size=320)
+    for idx in range(len(ds)):
+        img, gt = ds.get(idx, epoch=1_000_000 + idx)
+        prob = np.asarray(apply(jnp.asarray(img)[None]))[0, ..., 0]
+        pred = host_largest_cc((prob > 0.5).astype(np.uint8))
+        score = _iou(pred, gt)
+        assert score >= 0.85, (idx, score)
+
+
 @needs_video
 def test_video_model_propagates_lake_clip():
     from PIL import Image
