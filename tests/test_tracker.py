@@ -53,3 +53,42 @@ def test_mosse_bbox_stays_in_bounds():
     for t in range(10):
         _, (x, y, w, h) = tr.update(_scene(rng, 25 - t, 25 - t, size=size))
     assert -w <= x < size and -h <= y < size
+
+
+def _scene_scaled(rng, cx, cy, side, size=240):
+    img = rng.uniform(0, 60, (size, size)).astype(np.float32)
+    s = int(round(side))
+    tex = (np.indices((s, s)).sum(0) % 7) * 25.0 + 120.0
+    x1, y1 = int(cx - s / 2), int(cy - s / 2)
+    img[y1:y1 + s, x1:x1 + s] = tex
+    return img
+
+
+def test_mosse_adapts_to_scale_change():
+    """DSST-style scale search: an object growing ~2.3%/frame must carry
+    the bbox size with it (reference CSRT handles scale drift,
+    reference_tracking.py:105-113; translation-only MOSSE cannot)."""
+    rng = np.random.default_rng(3)
+    cx = cy = 120.0
+    side = 30.0
+    tr = MosseTracker()
+    tr.init(_scene_scaled(rng, cx, cy, side), (105, 105, 30, 30))
+    for t in range(24):
+        side *= 1.023
+        ok, (x, y, w, h) = tr.update(_scene_scaled(rng, cx, cy, side))
+        assert ok, f"lost at step {t} (side {side:.1f})"
+    # ~74% total growth; damped adaptation must recover a good part of it
+    assert w >= 38, (w, side)
+    assert abs(x + w / 2 - cx) < 6 and abs(y + h / 2 - cy) < 6
+
+
+def test_mosse_scale_stays_put_on_static_object():
+    """Scale search must not wander on a static anchor."""
+    rng = np.random.default_rng(4)
+    tr = MosseTracker()
+    tr.init(_scene_scaled(rng, 120, 120, 30), (105, 105, 30, 30))
+    for _ in range(20):
+        ok, (x, y, w, h) = tr.update(_scene_scaled(rng, 120, 120, 30))
+        assert ok
+    assert 26 <= w <= 35, w
+    assert abs(x + w / 2 - 120) < 4

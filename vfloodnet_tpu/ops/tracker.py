@@ -9,10 +9,16 @@ an adaptive filter learned against a Gaussian response, PSR-gated updates.
 
 TPU-native shape discipline: everything runs at a fixed 64x64 working
 window (static shapes, one jitted graph shared by every tracker
-instance); the host only crops/resizes the window patch. Translation-only
-like classic MOSSE — the reference objects est_by_reference tracks are
-static scene anchors, where drift-resistance matters more than scale
-adaptation.
+instance); the host only crops/resizes the window patch. Beyond classic
+translation-only MOSSE, a DSST-style scale search (Danelljan et al.,
+BMVC 2014 idea, filter-reuse variant) evaluates the SAME filter on crops
+at {1/step, 1, step} window scales each frame — the best-PSR scale wins
+and the window/bbox sizes follow with damping — covering the scale-drift
+behaviour the reference gets from CSRT
+(estimation/reference_tracking.py:105-113) on long outdoor videos. An
+optional rotation search does the same over small angle offsets
+(``search_rot=True``; off by default — the tracked reference objects are
+static scene anchors).
 """
 
 from __future__ import annotations
@@ -89,6 +95,18 @@ def _respond(num: jnp.ndarray, den: jnp.ndarray, patch: jnp.ndarray):
 
 
 @jax.jit
+def _respond_multi(num: jnp.ndarray, den: jnp.ndarray,
+                   patches: jnp.ndarray):
+    """patches [K, S, S] (scale/rotation candidates) -> per-candidate
+    (dy [K], dx [K], psr [K]) from one vmapped correlation pass."""
+    def one(p):
+        dy, dx, psr, _ = _respond(num, den, p)
+        return dy, dx, psr
+
+    return jax.vmap(one)(patches)
+
+
+@jax.jit
 def _update_filter(num, den, f, lr: jnp.ndarray):
     g = jnp.fft.fft2(jnp.asarray(_gauss_target()))
     return ((1.0 - lr) * num + lr * g * jnp.conj(f),
@@ -106,20 +124,36 @@ class MosseTracker:
     ``ok, (x, y, w, h) = update(img)``."""
 
     def __init__(self, lr: float = 0.125, psr_min: float = 5.0,
-                 pad: float = 2.0, n_warps: int = 8, seed: int = 0):
+                 pad: float = 2.0, n_warps: int = 8, seed: int = 0,
+                 search_scale: bool = True, scale_step: float = 1.035,
+                 scale_damp: float = 0.6, search_rot: bool = False,
+                 rot_step: float = 3.0):
         self.lr = lr
         self.psr_min = psr_min
         self.pad = pad
         self.n_warps = n_warps
         self.seed = seed
+        self.search_scale = search_scale
+        self.scale_step = scale_step
+        self.scale_damp = scale_damp
+        self.search_rot = search_rot
+        self.rot_step = rot_step
+        self._angle = 0.0          # cumulative window rotation (degrees)
         self._num = None
         self._den = None
 
     # -- host-side window crop (resized to the static working size) -------
-    def _crop(self, gray: np.ndarray) -> np.ndarray:
+    def _crop(self, gray: np.ndarray, scale: float = 1.0,
+              angle: float = 0.0) -> np.ndarray:
         import cv2
+        if self._angle + angle != 0.0:
+            # rotated window: warp around the centre, then axis-aligned crop
+            m = cv2.getRotationMatrix2D(self._center,
+                                        self._angle + angle, 1.0)
+            gray = cv2.warpAffine(gray, m, gray.shape[::-1],
+                                  borderMode=cv2.BORDER_REPLICATE)
         cx, cy = self._center
-        ww, wh = self._win
+        ww, wh = self._win[0] * scale, self._win[1] * scale
         x1, y1 = int(round(cx - ww / 2)), int(round(cy - wh / 2))
         h, w = gray.shape
         pad_l = max(0, -x1)
@@ -156,22 +190,46 @@ class MosseTracker:
                ) -> Tuple[bool, Tuple[int, int, int, int]]:
         assert self._num is not None, "call init() first"
         gray = _to_gray(img)
-        patch = self._crop(gray)
-        dy, dx, psr, f = _respond(self._num, self._den, jnp.asarray(patch))
-        ok = bool(psr >= self.psr_min)
+
+        scales = ((1.0 / self.scale_step, 1.0, self.scale_step)
+                  if self.search_scale else (1.0,))
+        angles = ((-self.rot_step, 0.0, self.rot_step)
+                  if self.search_rot else (0.0,))
+        cands = [(s, a) for a in angles for s in scales]
+        patches = np.stack([self._crop(gray, s, a) for s, a in cands])
+        dys, dxs, psrs = (np.asarray(v) for v in _respond_multi(
+            self._num, self._den, jnp.asarray(patches)))
+        best = int(np.argmax(psrs))
+        s_best, a_best = cands[best]
+        psr = float(psrs[best])
+        ok = psr >= self.psr_min
         if ok:
-            sx = self._win[0] / SIZE
-            sy = self._win[1] / SIZE
-            cx = self._center[0] + float(dx) * sx
-            cy = self._center[1] + float(dy) * sy
+            # displacement in window units of the WINNING crop scale
+            sx = self._win[0] * s_best / SIZE
+            sy = self._win[1] * s_best / SIZE
+            # rotated-crop displacements are in the rotated frame; rotate
+            # back into image coordinates
+            th = np.deg2rad(self._angle + a_best)
+            dx_i = float(dxs[best]) * np.cos(th) + float(dys[best]) * np.sin(th)
+            dy_i = -float(dxs[best]) * np.sin(th) + float(dys[best]) * np.cos(th)
+            cx = self._center[0] + dx_i * sx
+            cy = self._center[1] + dy_i * sy
             h, w = gray.shape
             self._center = (float(np.clip(cx, 0, w - 1)),
                             float(np.clip(cy, 0, h - 1)))
+            if s_best != 1.0:                 # damped scale adaptation
+                g = s_best ** self.scale_damp
+                self._win = (max(self._win[0] * g, 8.0),
+                             max(self._win[1] * g, 8.0))
+                self._size = (self._size[0] * g, self._size[1] * g)
+            if a_best != 0.0:                 # damped rotation adaptation
+                self._angle += a_best * self.scale_damp
             # re-crop at the new centre so the filter trains on-target
             f = jnp.fft.fft2(_preprocess(jnp.asarray(self._crop(gray))))
             self._num, self._den = _update_filter(
                 self._num, self._den, f, jnp.float32(self.lr))
         bw, bh = self._size
         bbox = (int(round(self._center[0] - bw / 2)),
-                int(round(self._center[1] - bh / 2)), int(bw), int(bh))
+                int(round(self._center[1] - bh / 2)),
+                int(round(bw)), int(round(bh)))
         return ok, bbox
