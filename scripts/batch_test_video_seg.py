@@ -25,7 +25,7 @@ def main():
     p.add_argument("--streams", type=int, default=1,
                    help="Propagate this many same-resolution videos "
                         "simultaneously (one vmapped device step).")
-    p.add_argument("--cc-scale", type=int, default=4,
+    p.add_argument("--cc-scale", type=int, default=8,
                    help="Device largest-CC runs at 1/K of the operating "
                         "resolution (4 = default: IoU >= 0.9999 vs "
                         "full-res CC with dilated keep-mask).")

@@ -67,7 +67,8 @@ def unpack_bits(arr: np.ndarray, w: int) -> np.ndarray:
 
 def device_largest_cc(label_full: jnp.ndarray,
                       label_small: jnp.ndarray,
-                      scale: int = 4) -> jnp.ndarray:
+                      scale: int = 4,
+                      dilate: int = 1) -> jnp.ndarray:
     """Largest-CC cleanup on device. The component filter runs at 1/scale of
     the small operating resolution (CC topology is scale-invariant for the
     bicubically upsampled mask, and the label-propagation cost scales with
@@ -76,9 +77,11 @@ def device_largest_cc(label_full: jnp.ndarray,
     to background survive — same behaviour as the reference's full-res
     ``postprocessing_pred`` (myutils/data.py:17-37) at a fraction of the
     cost. Measured vs the full-res host CC on the demo-clip masks (+ false
-    blobs / salt-noise variants): scale 4 + dilation IoU >= 0.9999 on every
-    mask (undilated scale 2 was 0.9976), while the CC grid shrinks to
-    120x214 where a propagation sweep costs ~0.1 ms."""
+    blobs / salt-noise variants), scripts/bench_cc_accuracy.py: scale 4 +
+    dilation IoU >= 0.99992 and scale 8 + dilation >= 0.99986 on every mask
+    (undilated scale 2 was 0.9976). Default scale 8 shrinks the CC grid to
+    60x107, where the whole label-propagation fixpoint is ~4x cheaper than
+    scale 4's 120x214."""
     h, w = label_small.shape[-2:]
     if scale > 1 and min(h, w) // scale >= 16:
         cc_in = ops.resize(label_small, (h // scale, w // scale), "nearest",
@@ -86,13 +89,14 @@ def device_largest_cc(label_full: jnp.ndarray,
     else:
         cc_in = label_small
     keep = ops.largest_connected_component(cc_in)
-    # one-cell 8-neighbour dilation (max-pool via pad+slice)
-    p = jnp.pad(keep, 1)
-    keep = jnp.maximum(keep, jnp.maximum(
-        jnp.maximum(jnp.maximum(p[:-2, 1:-1], p[2:, 1:-1]),
-                    jnp.maximum(p[1:-1, :-2], p[1:-1, 2:])),
-        jnp.maximum(jnp.maximum(p[:-2, :-2], p[:-2, 2:]),
-                    jnp.maximum(p[2:, :-2], p[2:, 2:]))))
+    # ``dilate``-cell 8-neighbour dilation (max-pool via pad+slice)
+    for _ in range(max(0, int(dilate))):
+        p = jnp.pad(keep, 1)
+        keep = jnp.maximum(keep, jnp.maximum(
+            jnp.maximum(jnp.maximum(p[:-2, 1:-1], p[2:, 1:-1]),
+                        jnp.maximum(p[1:-1, :-2], p[1:-1, 2:])),
+            jnp.maximum(jnp.maximum(p[:-2, :-2], p[:-2, 2:]),
+                        jnp.maximum(p[2:, :-2], p[2:, 2:]))))
     keep_full = ops.resize(keep, label_full.shape, "nearest",
                            spatial_axes=(-2, -1))
     return label_full * keep_full
@@ -155,7 +159,7 @@ class VideoSegEngine:
 
     def __init__(self, model: AFBURR, variables, fb: FeatureBank,
                  downsample: int = 480, postprocess="auto",
-                 memorize_every: int = 1, cc_scale: int = 4):
+                 memorize_every: int = 1, cc_scale: int = 8):
         self.model = model
         if model.dtype != jnp.float32:     # see cast_floating_params
             variables = cast_floating_params(variables, model.dtype)
@@ -330,7 +334,7 @@ def run_video_segmentation(test_path: str, test_name: str,
                            first_mask_path: Optional[str] = None,
                            checkpoint_every: int = 0,
                            memorize_every: int = 1,
-                           cc_scale: int = 4) -> dict:
+                           cc_scale: int = 8) -> dict:
     """End-to-end video segmentation over a frame directory.
 
     Mirrors the reference entry point behaviour (test_video_seg.py:41-123):
