@@ -76,3 +76,36 @@ def test_cc_large_mask_overflow_fallback():
     ref_ids = ref[mask == 1]
     pairs = set(zip(ours_ids.tolist(), ref_ids.tolist()))
     assert len(pairs) == n_ref == len(set(np.unique(ours_ids)))
+
+
+def test_device_largest_cc_scale8_demo_masks():
+    """The production default (scale 8 + 1-cell dilation) must stay within
+    the documented tolerance of the reference-behaviour full-res CC on the
+    bundled demo masks, including adversarial false-blob and salt variants
+    (committed measurement: scripts/bench_cc_accuracy.py, min IoU 0.999868
+    over 24 cases)."""
+    import os
+
+    from vfloodnet_tpu.ops import resize
+    from vfloodnet_tpu.utils import load_mask
+
+    mask_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "records", "demo_eval", "lake", "masks")
+    rng = np.random.RandomState(0)
+    for nm in ("0.png", "5.png"):
+        m = (load_mask(os.path.join(mask_dir, nm)) > 0).astype(np.uint8)
+        h, w = m.shape
+        s = 480 / min(h, w)
+        small = np.asarray(resize(jnp.asarray(m), (round(h * s), round(w * s)),
+                                  "nearest", spatial_axes=(-2, -1)))
+        blob = small.copy()
+        blob[40:90, small.shape[1] - 120:small.shape[1] - 40] = 1
+        salt = small.copy()
+        salt[rng.rand(*salt.shape) < 0.002] = 1
+        for case in (small, blob, salt):
+            ref = host_largest_cc(case)
+            got = np.asarray(device_largest_cc(jnp.asarray(case),
+                                               jnp.asarray(case), scale=8))
+            union = float(np.logical_or(got, ref).sum())
+            iou = float(np.logical_and(got, ref).sum()) / max(union, 1.0)
+            assert iou >= 0.999, f"{nm}: scale-8 CC IoU {iou} vs full-res"
