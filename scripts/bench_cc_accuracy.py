@@ -37,6 +37,8 @@ def main():
     mask_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "records", "demo_eval", "lake", "masks")
     names = sorted(os.listdir(mask_dir))
+    import jax.numpy as jnp
+
     rng = np.random.RandomState(0)
 
     cases = []
@@ -46,7 +48,6 @@ def main():
             m = m[..., 0]
         m = (m > 0).astype(np.uint8)
         # operating-resolution copy (480 short side), like label_small
-        import jax.numpy as jnp
         h, w = m.shape
         s = 480 / min(h, w)
         small = np.asarray(resize(jnp.asarray(m), (round(h * s), round(w * s)),
@@ -61,7 +62,6 @@ def main():
         salt[idx] = 1
         cases.append((f"{nm}+salt", salt))
 
-    import jax.numpy as jnp
     configs = [(4, 1), (8, 1), (8, 2), (16, 2)]
     stats = {c: [] for c in configs}
     for name, small in cases:
