@@ -175,15 +175,24 @@ def main():
         writer.shutdown()
         return n_measure / total, state
 
+    # Relay-health marker: the fixed D2H round-trip floor (~30-45 ms on a
+    # healthy relay, hundreds of ms when degraded) makes each capture
+    # self-identifying — a 39 vs 68 fps headline can be attributed without
+    # re-running (VERDICT r3 weak #7).
+    from vfloodnet_tpu.utils import fetch_floor as _fetch_floor
+    relay_floor_ms = float(_fetch_floor(label)) * 1000.0
+
     # Early-video regime: each repeat starts from a fresh bank (fps over the
     # first n_measure frames of a video); best-of-REPEATS filters relay noise.
     fps, state = measure_stream(state)
+    fps_all = [fps]
     for _ in range(REPEATS - 1):
         st = engine.bootstrap(frame0, mask0)
         for i in range(n_warm):
             st, label = engine.step(st, frames[i % len(frames)], i + 1)
         force(label)   # drain warmup work before the timed stream
         f2, st = measure_stream(st)
+        fps_all.append(f2)
         if f2 > fps:
             fps, state = f2, st
 
@@ -210,6 +219,11 @@ def main():
         "operating_short_side": operating,
         "platform": platform,
         "weights": weights,
+        # relay-health markers: fixed D2H floor + best-to-worst repeat
+        # spread; a healthy relay shows floor ~30-45 ms and spread < 0.1
+        "fetch_floor_ms": round(relay_floor_ms, 1),
+        "fps_spread": round((max(fps_all) - min(fps_all)) / max(fps_all), 3),
+        "fps_repeats": [round(f, 2) for f in fps_all],
     }
     print(json.dumps(result), flush=True)
 

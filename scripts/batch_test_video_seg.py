@@ -27,7 +27,7 @@ def main():
                         "simultaneously (one vmapped device step).")
     p.add_argument("--cc-scale", type=int, default=8,
                    help="Device largest-CC runs at 1/K of the operating "
-                        "resolution (4 = default: IoU >= 0.9999 vs "
+                        "resolution (8 = default: IoU >= 0.9998 vs "
                         "full-res CC with dilated keep-mask).")
     p.add_argument("--memorize-every", type=int, default=1,
                    help="Memorize/bank-update every Kth frame (1 = every "

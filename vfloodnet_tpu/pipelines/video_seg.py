@@ -67,7 +67,7 @@ def unpack_bits(arr: np.ndarray, w: int) -> np.ndarray:
 
 def device_largest_cc(label_full: jnp.ndarray,
                       label_small: jnp.ndarray,
-                      scale: int = 4,
+                      scale: int = 8,
                       dilate: int = 1) -> jnp.ndarray:
     """Largest-CC cleanup on device. The component filter runs at 1/scale of
     the small operating resolution (CC topology is scale-invariant for the
