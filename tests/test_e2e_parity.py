@@ -1,0 +1,307 @@
+"""End-to-end final-mask parity vs the EXECUTED reference pipelines.
+
+Round-3 verdict's top ask: module-level parity (tests/test_parity_torch.py)
+proves memorize/segment/update equivalence on identical inputs, but the
+BASELINE north star ("<0.5% mIoU delta") lives at the level of the SAVED
+MASKS after the reference's *whole* inference loop — resize kernels,
+padding, largest-CC and palette semantics all sit between the network and
+the PNG, and that is exactly where bit-level drift hides.
+
+This harness drives the reference's complete loops — imported from
+/root/reference and *executed* as a numerical oracle, never copied —
+
+- video: test_video_seg.py:85-121 (ToTensor -> short-side bicubic tensor
+  resize -> memorize frame 0 -> per frame: segment -> softmax -> memorize
+  -> FeatureBank.update -> bicubic resize back to the original size ->
+  argmax -> myutils.postprocessing_pred largest-CC -> palette PNG),
+- image: test_image_seg.py:95-124 (PIL 416x416 bilinear resize -> ImageNet
+  normalize -> smp LinkNet forward -> tensor bilinear resize back -> round
+  -> postprocessing_pred -> palette PNG),
+
+with a random-init oracle checkpoint converted through
+vfloodnet_tpu.core.convert (the SAME weights both ways), then runs this
+framework's own CLIs-level pipelines on the SAME input files and asserts
+the final saved masks agree within 0.5% (per-frame IoU >= 0.995 and pixel
+disagreement < 0.5%). Any drift in resize kernel/rounding, pad placement,
+CC semantics or palette encoding fails here.
+
+Inputs are the bundled lake clip / flood still downscaled to short side
+~360 (the loops are resolution-uniform; full 1080p would cost ~10x on the
+1-CPU host for identical coverage).
+"""
+
+import os
+import sys
+from glob import glob
+
+import numpy as np
+import pytest
+from PIL import Image
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as NF  # noqa: E402
+
+from tests.torch_oracle import load_reference  # noqa: E402
+from vfloodnet_tpu.core.convert import (  # noqa: E402
+    convert_afb_urr_state_dict, convert_smp_linknet_state_dict)
+from vfloodnet_tpu.utils import load_mask, save_seg_mask  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FRAMES_DIR = os.path.join(REPO, "records", "demo_eval", "lake", "frames")
+MASK0_PATH = os.path.join(REPO, "records", "demo_eval", "lake", "masks",
+                          "0.png")
+STILL_PATH = "/root/reference/assets/img_exp/flood0.jpg"
+
+SHORT_SIDE = 360       # pre-resize of the source material (speed only)
+OPERATING = 240        # the loop's downsample_size (reference uses 480)
+BUDGET = 20_000        # no eviction on either side at this clip length
+
+
+def _ref_myutils():
+    """Reference myutils, imported with the oracle's dependency stubs."""
+    from tests.torch_oracle import REFERENCE, _install_stubs
+    _install_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import myutils
+    return myutils
+
+
+def _tv_resize(t: "torch.Tensor", size, mode: str) -> "torch.Tensor":
+    """torchvision ``TF.resize`` tensor semantics (the reference's resizes at
+    test_video_seg.py:88-89,107,114 and test_image_seg.py:108,120):
+    single-int size resizes the short side and TRUNCATES the long side
+    (``int(size * long / short)``); interpolate with align_corners=False and
+    no antialias."""
+    if isinstance(size, int):
+        h, w = t.shape[-2:]
+        if h <= w:
+            out = (size, max(1, int(size * w / h)))
+        else:
+            out = (max(1, int(size * h / w)), size)
+    else:
+        out = tuple(int(v) for v in size)
+    if mode == "nearest":
+        return NF.interpolate(t, size=out, mode="nearest")
+    return NF.interpolate(t, size=out, mode=mode, align_corners=False)
+
+
+def _randomize_bn_stats(model, seed=7):
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=g)
+                                 * 0.2)
+            m.running_var.copy_(0.5 + torch.rand(m.num_features, generator=g))
+
+
+def _mask_metrics(a: np.ndarray, b: np.ndarray):
+    a = a > 0
+    b = b > 0
+    union = (a | b).sum()
+    iou = float((a & b).sum() / union) if union else 1.0
+    disagree = float((a != b).mean())
+    return iou, disagree
+
+
+# ---------------------------------------------------------------- video ---
+
+def _run_reference_video_loop(model, fb_mod, img_list, mask0, out_dir):
+    """The reference test_video_seg.py:82-121 driver, executed verbatim
+    semantics-wise on CPU (Video_DS one-hot from Water_DS.py:87-102)."""
+    my = _ref_myutils()
+    os.makedirs(out_dir, exist_ok=True)
+
+    obj_n = int(mask0.max()) + 1
+    onehot = np.stack([(mask0 == k) for k in range(obj_n)]).astype(np.float32)
+
+    def _to_tensor(path):
+        arr = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+        return torch.from_numpy(arr.transpose(2, 0, 1))[None]
+
+    ori_first_frame = _to_tensor(img_list[0])
+    ori_first_mask = torch.from_numpy(onehot)[None]
+    first_frame = _tv_resize(ori_first_frame, OPERATING, "bicubic")
+    first_mask = _tv_resize(ori_first_mask, OPERATING, "nearest")
+
+    fb = fb_mod.FeatureBank(obj_n, BUDGET, torch.device("cpu"),
+                            update_rate=0.1, thres_close=0.95)
+
+    first_name = os.path.splitext(os.path.basename(img_list[0]))[0]
+    pred0 = torch.argmax(ori_first_mask[0], dim=0).numpy().astype(np.uint8)
+    my.save_seg_mask(pred0, os.path.join(out_dir, first_name + ".png"),
+                     my.color_palette)
+
+    with torch.no_grad():
+        k4l, v4l = model.memorize(first_frame, first_mask)
+        fb.init_bank(list(k4l), list(v4l))
+        for idx, path in enumerate(img_list[1:]):
+            ori_frame = _to_tensor(path)
+            ori_size = ori_frame.shape[-2:]
+            frame = _tv_resize(ori_frame, OPERATING, "bicubic")
+            score, _ = model.segment(frame, fb)
+            pred_mask = NF.softmax(score, dim=1)
+            k4l, v4l = model.memorize(frame, pred_mask)
+            fb.update(list(k4l), list(v4l), idx + 1)
+            pred = _tv_resize(pred_mask, ori_size, "bicubic")
+            pred = torch.argmax(pred[0], dim=0).numpy().astype(np.uint8)
+            pred = my.postprocessing_pred(pred)
+            name = os.path.splitext(os.path.basename(path))[0]
+            my.save_seg_mask(pred, os.path.join(out_dir, name + ".png"),
+                             my.color_palette)
+    return out_dir
+
+
+@pytest.fixture(scope="module")
+def video_parity(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e_video")
+    frames_dir = os.path.join(root, "frames")
+    os.makedirs(frames_dir)
+
+    src = sorted(glob(os.path.join(FRAMES_DIR, "*.jpg"))
+                 + glob(os.path.join(FRAMES_DIR, "*.png")))
+    assert len(src) >= 4, "bundled lake clip missing"
+    first = Image.open(src[0]).convert("RGB")
+    w, h = first.size
+    scale = SHORT_SIDE / min(w, h)
+    hw = (int(round(w * scale)), int(round(h * scale)))
+    img_list = []
+    for p in src:
+        im = Image.open(p).convert("RGB").resize(hw, Image.BILINEAR)
+        out = os.path.join(frames_dir,
+                           os.path.splitext(os.path.basename(p))[0] + ".png")
+        im.save(out)
+        img_list.append(out)
+
+    mask0 = np.asarray(Image.open(MASK0_PATH).resize(hw, Image.NEAREST),
+                       np.uint8)
+    mask0 = (mask0 > 0).astype(np.uint8)
+
+    afb_mod, fb_mod = load_reference()
+    torch.manual_seed(0)
+    model = afb_mod.AFB_URR(torch.device("cpu"), update_bank=True,
+                            load_imagenet_params=False)
+    _randomize_bn_stats(model)
+    with torch.no_grad():
+        # Temper the two prediction convs: at kaiming random-init their
+        # logit scale is so large that the decoder's softmax probability
+        # saturates below the reference's clamp(1e-7) for BOTH objects on
+        # ~96% of pixels, making its log-odds an EXACT two-channel tie
+        # (argmax -> background by torch tie-breaking) — a degenerate
+        # regime released weights never occupy and where mask parity is
+        # undefined. x0.05 keeps probabilities strictly inside the clamp
+        # band (measured: tie fraction 0, margin median 5e-3). Applied
+        # BEFORE export, so both sides still run the SAME weights.
+        for m in (model.decoder.pred2, model.decoder.local_pred2):
+            m.weight *= 0.05
+            if m.bias is not None:
+                m.bias.zero_()
+    model.eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    variables = convert_afb_urr_state_dict(sd)
+
+    ref_dir = _run_reference_video_loop(model, fb_mod, img_list, mask0,
+                                        os.path.join(root, "ref"))
+
+    mask0_path = os.path.join(root, "first_mask.png")
+    save_seg_mask(mask0, mask0_path)
+    from vfloodnet_tpu.models import AFBURR
+    from vfloodnet_tpu.pipelines.video_seg import run_video_segmentation
+    res = run_video_segmentation(
+        frames_dir, "e2e", out_dir=os.path.join(root, "mine"),
+        model=AFBURR(), variables=variables, budget=BUDGET,
+        downsample=OPERATING, viz=False, postprocess="host",
+        first_mask_path=mask0_path)
+    names = [os.path.splitext(os.path.basename(p))[0] for p in img_list]
+    return ref_dir, res["mask_dir"], names
+
+
+def test_video_e2e_mask_parity(video_parity):
+    ref_dir, my_dir, names = video_parity
+    assert np.array_equal(load_mask(os.path.join(ref_dir, names[0] + ".png")),
+                          load_mask(os.path.join(my_dir, names[0] + ".png")))
+    report = []
+    for name in names[1:]:
+        ref = load_mask(os.path.join(ref_dir, name + ".png"))
+        mine = load_mask(os.path.join(my_dir, name + ".png"))
+        assert ref.shape == mine.shape
+        iou, disagree = _mask_metrics(ref, mine)
+        report.append((name, round(iou, 5), round(disagree, 5)))
+    print("video e2e per-frame (name, IoU, disagree):", report)
+    for name, iou, disagree in report:
+        assert iou >= 0.995, f"frame {name}: IoU {iou} (report: {report})"
+        assert disagree < 0.005, f"frame {name}: disagree {disagree}"
+
+
+def test_video_e2e_palette(video_parity):
+    ref_dir, my_dir, names = video_parity
+    ref = Image.open(os.path.join(ref_dir, names[1] + ".png"))
+    mine = Image.open(os.path.join(my_dir, names[1] + ".png"))
+    assert ref.mode == "P" and mine.mode == "P"
+    assert ref.getpalette()[:12] == mine.getpalette()[:12]
+
+
+# ---------------------------------------------------------------- image ---
+
+@pytest.fixture(scope="module")
+def image_parity(tmp_path_factory):
+    from tests.torch_smp import TorchLinknetSMP, randomize_
+    root = tmp_path_factory.mktemp("e2e_image")
+    im = Image.open(STILL_PATH).convert("RGB")
+    w, h = im.size
+    scale = SHORT_SIDE / min(w, h)
+    im = im.resize((int(round(w * scale)), int(round(h * scale))),
+                   Image.BILINEAR)
+    still = os.path.join(root, "still.png")
+    im.save(still)
+
+    oracle = TorchLinknetSMP()
+    randomize_(oracle, seed=3)
+    with torch.no_grad():
+        # Widen the head's logit scale so random-init probabilities are not
+        # all hovering at sigmoid(~0)=0.5, where the .round() in
+        # test_image_seg.py:121 would flap on f32 noise instead of
+        # measuring pipeline parity. Applied before export: both sides see
+        # the SAME scaled weights.
+        oracle.segmentation_head[0].weight *= 8.0
+    oracle.eval()
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    variables = convert_smp_linknet_state_dict(sd)
+
+    my = _ref_myutils()
+    # reference predict_pil, test_image_seg.py:95-124
+    img_pil = my.load_image_in_PIL(still)
+    img_np = np.array(img_pil)
+    resized = img_pil.resize((416, 416), Image.BILINEAR)  # tf.Resize on PIL
+    x = np.asarray(resized, np.float32) / 255.0
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    x = (x - mean) / std
+    with torch.no_grad():
+        pred = oracle(torch.from_numpy(x.transpose(2, 0, 1))[None])
+        pred = _tv_resize(pred, (img_np.shape[0], img_np.shape[1]),
+                          "bilinear")
+    pred_np = pred.squeeze().round().numpy().astype(np.uint8)
+    pred_np = my.postprocessing_pred(pred_np)
+    ref_path = os.path.join(root, "ref_mask.png")
+    ref_img = Image.fromarray(pred_np).convert("P")
+    ref_img.putpalette(my.color_palette)
+    ref_img.save(ref_path)
+
+    from vfloodnet_tpu.models.linknet_smp import LinkNetSMP
+    from vfloodnet_tpu.pipelines.image_seg import run_image_segmentation
+    results = run_image_segmentation(still, "e2e_img",
+                                     os.path.join(root, "mine"),
+                                     model=LinkNetSMP(), variables=variables)
+    return ref_path, results[0][0]
+
+
+def test_image_e2e_mask_parity(image_parity):
+    ref_path, my_path = image_parity
+    ref = load_mask(ref_path)
+    mine = load_mask(my_path)
+    assert ref.shape == mine.shape
+    iou, disagree = _mask_metrics(ref, mine)
+    print(f"image e2e: IoU {iou:.5f}, disagree {disagree:.5f}")
+    assert iou >= 0.995, f"IoU {iou}"
+    assert disagree < 0.005, f"disagree {disagree}"

@@ -25,14 +25,16 @@ def short_side_size(h: int, w: int, target: int) -> Tuple[int, int]:
     """Compute (new_h, new_w) resizing the short side to ``target``.
 
     Mirrors torchvision's single-int Resize semantics used at
-    test_video_seg.py:88 (downsample_size=480).
+    test_video_seg.py:88 (downsample_size=480): the long side is
+    ``int(target * long / short)`` — truncated, not rounded
+    (torchvision ``_compute_resized_output_size``).
     """
     if h <= w:
         new_h = target
-        new_w = max(1, int(round(target * w / h)))
+        new_w = max(1, int(target * w / h))
     else:
         new_w = target
-        new_h = max(1, int(round(target * h / w)))
+        new_h = max(1, int(target * h / w))
     return new_h, new_w
 
 
