@@ -228,9 +228,13 @@ def test_video_e2e_mask_parity(video_parity):
         iou, disagree = _mask_metrics(ref, mine)
         report.append((name, round(iou, 5), round(disagree, 5)))
     print("video e2e per-frame (name, IoU, disagree):", report)
+    # BASELINE.md's bar is <0.5% mIoU delta; with the torch-exact bicubic
+    # and nearest kernels (ops/resize.py) the measured delta is <0.02% per
+    # frame, so the assertion is tightened to 0.2% to catch kernel
+    # regressions well before they approach the spec bar.
     for name, iou, disagree in report:
-        assert iou >= 0.995, f"frame {name}: IoU {iou} (report: {report})"
-        assert disagree < 0.005, f"frame {name}: disagree {disagree}"
+        assert iou >= 0.998, f"frame {name}: IoU {iou} (report: {report})"
+        assert disagree < 0.002, f"frame {name}: disagree {disagree}"
 
 
 def test_video_e2e_palette(video_parity):

@@ -124,3 +124,36 @@ def test_resize_close_to_pil_bilinear():
                                 antialias=True))
     assert np.abs(dev - pil).mean() < 0.01
     assert np.abs(dev - pil).max() < 0.12
+
+
+def test_bicubic_matches_torch_kernel():
+    """ops.resize 'bicubic' (antialias=False) must be the EXACT torch
+    bicubic (Keys a=-0.75, half-pixel, replicated edges) the reference's
+    tensor resizes use (test_video_seg.py:88,107,114)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    rng = np.random.RandomState(3)
+    for (ih, iw), (oh, ow) in [((37, 53), (24, 80)), ((96, 170), (64, 113)),
+                               ((64, 113), (96, 170))]:
+        x = rng.rand(ih, iw, 3).astype(np.float32)
+        t = torch.from_numpy(x.transpose(2, 0, 1))[None]
+        ref = F.interpolate(t, size=(oh, ow), mode="bicubic",
+                            align_corners=False).numpy()[0].transpose(1, 2, 0)
+        mine = np.asarray(ops.resize(x, (oh, ow), "bicubic",
+                                     spatial_axes=(0, 1)))
+        np.testing.assert_allclose(mine, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_nearest_torch_matches_torch():
+    """'nearest_torch' must reproduce torch floor-indexing nearest
+    (test_video_seg.py:89 first-mask downsize) bit-exactly."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    rng = np.random.RandomState(4)
+    for (ih, iw), (oh, ow) in [((31, 47), (17, 80)), ((96, 170), (64, 113))]:
+        x = (rng.rand(2, ih, iw) > 0.5).astype(np.float32)
+        ref = F.interpolate(torch.from_numpy(x)[None], size=(oh, ow),
+                            mode="nearest").numpy()[0]
+        mine = np.asarray(ops.resize(jnp.asarray(x), (oh, ow),
+                                     "nearest_torch", spatial_axes=(-2, -1)))
+        assert np.array_equal(mine, ref)

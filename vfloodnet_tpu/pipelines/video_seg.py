@@ -283,8 +283,10 @@ class VideoSegEngine:
         frame_small = ops.resize(frame, small_hw, "bicubic",
                                  spatial_axes=(0, 1))
         mask_oh = to_onehot(first_mask, self.fb.obj_n)
-        mask_small = ops.resize(jax.device_put(mask_oh), small_hw, "nearest",
-                                spatial_axes=(-2, -1))
+        # nearest_torch: the reference's first-mask downsize is a torch
+        # tensor NEAREST resize (test_video_seg.py:89, floor indexing)
+        mask_small = ops.resize(jax.device_put(mask_oh), small_hw,
+                                "nearest_torch", spatial_axes=(-2, -1))
         k4, v4 = self._init_bank(frame_small, mask_small)
         return self.fb.init_bank(k4, v4)
 

@@ -166,7 +166,7 @@ class BatchVideoSegEngine:
                                   "bicubic", spatial_axes=(1, 2))
         masks = np.stack([to_onehot(np.asarray(m), self.fb.obj_n)
                           for m in first_masks])
-        masks_small = ops.resize(jax.device_put(masks), small_hw, "nearest",
+        masks_small = ops.resize(jax.device_put(masks), small_hw, "nearest_torch",
                                  spatial_axes=(-2, -1))
         k4, v4 = self._init_banks(frames_small, masks_small)
 

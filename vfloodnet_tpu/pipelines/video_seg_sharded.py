@@ -177,7 +177,7 @@ class ShardedVideoSegEngine:
                            spatial_axes=(0, 1))
         mask = ops.resize(jax.device_put(to_onehot(first_mask,
                                                    self.fb.obj_n)),
-                          small_hw, "nearest", spatial_axes=(-2, -1))
+                          small_hw, "nearest_torch", spatial_axes=(-2, -1))
         k4, v4 = self._init_bank(frame, mask)
         state = self.fb.init_bank(k4, v4)
         return shard_bank_state(self.mesh, state)
