@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..ops import (bank_attention_read, calc_uncertainty, local_avg_pool,
                    local_max_pool, pad_divide_by, unpad)
-from .resnet import ResNet50Backbone, FrozenBN
+from .resnet import FrozenBN, ResNet50Backbone, StemKernel
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)  # host constant: no device init at import
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -95,13 +95,16 @@ class EncoderM(nn.Module):
     def __call__(self, frame, mask, mask_inv):
         # frame [N,H,W,3] in [0,1]; mask/mask_inv [N,H,W,1]
         f = (frame - IMAGENET_MEAN) / IMAGENET_STD
-        extra = (nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                         dtype=self.dtype, name="conv1_m")(mask)
-                 + nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
-                           use_bias=False, dtype=self.dtype,
-                           name="conv1_o")(mask_inv))
+        # The reference's conv1(f) + conv1_m(m) + conv1_o(o) stem sum
+        # (AFB_URR.py:55-56) is one conv over the channel-concatenated
+        # input by linearity; StemConv fuses all three planes into a single
+        # space-to-depth stem (param tree unchanged: conv1_m/kernel,
+        # conv1_o/kernel still [7,7,1,64]).
+        wm = StemKernel(1, 64, name="conv1_m")()
+        wo = StemKernel(1, 64, name="conv1_o")()
         r4, _, _, r1 = ResNet50Backbone(dtype=self.dtype, name="backbone")(
-            f.astype(self.dtype), extra)
+            f.astype(self.dtype), extra_in=(mask, mask_inv),
+            extra_kernels=(wm, wo))
         return r4, r1
 
 
