@@ -151,8 +151,17 @@ def _best_match_occ(bank_keys: jnp.ndarray,
                              start + local_best.astype(jnp.int32), best_idx)
         return jnp.maximum(best_corr, local_val), best_idx
 
-    init = (jnp.full((m,), -2.0, jnp.float32), jnp.zeros((m,), jnp.int32))
-    best_corr, best_idx = jax.lax.fori_loop(0, n_iter, body, init)
+    # The loop carry inherits ``occ_bound``'s device-varying type (no-op
+    # arithmetic): under shard_map (parallel/sharded_update.py) the trip
+    # bound varies per shard and while_loop requires a matching varying
+    # carry; outside shard_map this is the identity.
+    zero = jnp.zeros((), jnp.int32) + 0 * jnp.asarray(occ_bound, jnp.int32)
+    init = (zero,
+            jnp.full((m,), -2.0, jnp.float32) + zero.astype(jnp.float32),
+            jnp.zeros((m,), jnp.int32) + zero)
+    _, best_corr, best_idx = jax.lax.while_loop(
+        lambda c: c[0] < n_iter,
+        lambda c: (c[0] + 1,) + body(c[0], (c[1], c[2])), init)
     return best_corr, best_idx
 
 

@@ -26,9 +26,10 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from ..ops.bank_update import (_best_match, _safe_normalize,
+from ..ops.bank_update import (_best_match_occ, _safe_normalize,
                                _sorted_group_means)
 from .mesh import MODEL_AXIS
+from .sharded_read import _shard_occ_bound
 
 
 def sharded_bank_merge_append(mesh, keys, values, valid, birth, usage,
@@ -55,10 +56,11 @@ def sharded_bank_merge_append(mesh, keys, values, valid, birth, usage,
 
         normed_new_k, _ = _safe_normalize(nk)
         normed_new_v, _ = _safe_normalize(nv)
-        mag_local = jnp.linalg.norm(keys.astype(jnp.float32), axis=1)
-
-        local_corr, local_idx = _best_match(keys, mag_local, valid,
-                                            normed_new_k, chunk=4096)
+        # occupancy-bounded match: O(local occupancy) like the read
+        # (sharded_read.py::_shard_occ_bound — exact bound, not an
+        # invariant assumption)
+        local_corr, local_idx = _best_match_occ(keys, valid, normed_new_k,
+                                                _shard_occ_bound(valid))
         g_corr = jax.lax.pmax(local_corr, MODEL_AXIS)          # [M]
         is_best = local_corr >= g_corr - 1e-7
         my_rank = jnp.where(is_best, shard, n_shards)
