@@ -43,8 +43,12 @@ def main():
     rng = np.random.RandomState(0)
     img = (rng.rand(1080, 1920, 3) * 255).astype(np.uint8)  # 1080p still
 
-    for name, cfg in (("pointrend_x101 (stopsign)", stopsign_rcnn_config()),
-                      ("keypoint_r101 (people)", keypoint_rcnn_config())):
+    only = os.environ.get("VFLOOD_BENCH_DET_ONLY")  # 'stopsign' | 'people'
+    configs = (("pointrend_x101 (stopsign)", stopsign_rcnn_config()),
+               ("keypoint_r101 (people)", keypoint_rcnn_config()))
+    for name, cfg in configs:
+        if only and only not in name:
+            continue
         model = GeneralizedRCNN(cfg)
         init = jax.jit(lambda key, im, model=model:
                        model.init(key, im, method=model.init_all))
@@ -72,9 +76,20 @@ def main():
         t0 = time.time()
         for _ in range(5):
             inst = detector(img)
-        ms = (time.time() - t0) / 5 * 1000.0
-        print(f"  host round-trip    {ms:7.1f} ms/img ({1000.0/ms:.2f} fps)"
-              f"  detections={len(inst)}")
+        rt_ms = (time.time() - t0) / 5 * 1000.0
+        print(f"  host round-trip    {rt_ms:7.1f} ms/img "
+              f"({1000.0/rt_ms:.2f} fps)  detections={len(inst)}")
+        import json
+        print(json.dumps({
+            "metric": "detection_full_scale",
+            "config": name,
+            "input_hw": list(padded.shape[:2]),
+            "device_forward_ms": round(ms, 1),
+            "host_roundtrip_ms": round(rt_ms, 1),
+            "fps": round(1000.0 / rt_ms, 3),
+            "platform": jax.devices()[0].platform,
+            "weights": "random-init",
+        }))
 
 
 if __name__ == "__main__":

@@ -89,10 +89,11 @@ def train_detector(steps: int) -> None:
     t0 = time.time()
     loss_hist = []
     for i in range(steps):
-        img, boxes, classes, masks, valid = ds.get(i)
+        img, boxes, classes, masks, valid, kps = ds.get(i)
         state, loss, aux = step_fn(state, jnp.asarray(img),
                                    jnp.asarray(boxes), jnp.asarray(classes),
-                                   jnp.asarray(masks), jnp.asarray(valid))
+                                   jnp.asarray(masks), jnp.asarray(valid),
+                                   jnp.asarray(kps))
         loss_hist.append(float(loss))
         if i % 50 == 0 or i == steps - 1:
             a = {k: round(float(v), 4) for k, v in aux.items()}
@@ -118,7 +119,7 @@ def train_mesh(steps: int) -> None:
         BodyMeshTrainConfig, init_bodymesh_train_state,
         make_bodymesh_train_step, make_training_sample)
 
-    cfg = BodyMeshTrainConfig()
+    cfg = BodyMeshTrainConfig(total_steps=steps)
     model = BodyMeshRegressor()
     init = jax.jit(model.init)
     variables = init(jax.random.PRNGKey(1),
@@ -130,6 +131,7 @@ def train_mesh(steps: int) -> None:
     template_2d = _load_template_3d(None)
     t0 = time.time()
     loss_hist = []
+    best = (float("inf"), None)   # (running-mean loss, snapshot)
     for i in range(steps):
         rng = np.random.default_rng(
             np.random.SeedSequence([cfg.seed + 13, i]))
@@ -138,17 +140,27 @@ def train_mesh(steps: int) -> None:
         state, loss = step_fn(state, jnp.asarray(crop01),
                               jnp.asarray(target))
         loss_hist.append(float(loss))
+        # best-checkpoint tracking over a 25-step running mean: live-BN
+        # training can thrash late (measured, round-4), and the FINAL
+        # state is not necessarily a usable one.
+        if i >= 100 and i % 25 == 0:
+            mean = float(np.mean(loss_hist[-25:]))
+            if mean < best[0]:
+                best = (mean, {"params": jax.device_get(state.params),
+                               "batch_stats": jax.device_get(
+                                   state.batch_stats)})
         if i % 50 == 0 or i == steps - 1:
             print(f"mesh step {i}/{steps} loss {float(loss):.5f} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+                  f"(best-mean {best[0]:.5f}, {time.time() - t0:.0f}s)",
+                  flush=True)
 
+    blob = best[1] or {"params": jax.device_get(state.params),
+                       "batch_stats": jax.device_get(state.batch_stats)}
     os.makedirs(MESH_CKPT, exist_ok=True)
-    blob = {"params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats)}
     save_checkpoint(os.path.join(MESH_CKPT, "best"), blob)
     save_flat_npz(os.path.join(MESH_CKPT, "best.npz"), blob)
     print(f"bodymesh regressor saved: {MESH_CKPT} "
-          f"(final loss {np.mean(loss_hist[-50:]):.5f})", flush=True)
+          f"(best running-mean loss {best[0]:.5f})", flush=True)
 
 
 def self_eval() -> None:

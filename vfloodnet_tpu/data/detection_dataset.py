@@ -194,17 +194,50 @@ def render_person_scene(rng: np.random.Generator, size: int = 320,
     box = np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1],
                    np.float32)
 
+    # COCO-17 keypoints (x, y, vis) from the figure geometry — nose/eyes/
+    # ears on the head disc, shoulders/elbows/wrists on the arm columns,
+    # hips/knees/ankles on the leg columns. All visible: the water band is
+    # opaque but a person detector must still localize submerged joints
+    # (that extrapolation is exactly what the people-depth chain needs).
+    hc_y = head_y + head_r
+    sh_y = torso_top + head_r
+    arm_x = torso_w + arm_w * 0.6
+    knee_y = 0.5 * (torso_bot + feet_y)
+    kp = np.array([
+        (cx, hc_y),                                     # nose
+        (cx + 0.35 * head_r, hc_y - 0.2 * head_r),      # left eye
+        (cx - 0.35 * head_r, hc_y - 0.2 * head_r),      # right eye
+        (cx + 0.8 * head_r, hc_y),                      # left ear
+        (cx - 0.8 * head_r, hc_y),                      # right ear
+        (cx + 0.8 * torso_w, sh_y),                     # left shoulder
+        (cx - 0.8 * torso_w, sh_y),                     # right shoulder
+        (cx + arm_x, 0.5 * (sh_y + torso_bot)),         # left elbow
+        (cx - arm_x, 0.5 * (sh_y + torso_bot)),         # right elbow
+        (cx + arm_x, torso_bot),                        # left wrist
+        (cx - arm_x, torso_bot),                        # right wrist
+        (cx + spread, torso_bot),                       # left hip
+        (cx - spread, torso_bot),                       # right hip
+        (cx + spread, knee_y),                          # left knee
+        (cx - spread, knee_y),                          # right knee
+        (cx + spread, feet_y - 1.0),                    # left ankle
+        (cx - spread, feet_y - 1.0),                    # right ankle
+    ], np.float32)
+    keypoints0 = np.concatenate([kp, np.ones((17, 1), np.float32)], axis=1)
+
     boxes = np.zeros((GT_CAP, 4), np.float32)
     classes = np.zeros((GT_CAP,), np.int32)
     masks = np.zeros((GT_CAP, s, s), np.float32)
     valid = np.zeros((GT_CAP,), bool)
+    keypoints = np.zeros((GT_CAP, 17, 3), np.float32)
     boxes[0] = box
     classes[0] = PERSON_COCO_CLASS
     masks[0] = mask.astype(np.float32)
     valid[0] = True
+    keypoints[0] = keypoints0
 
     return {"image": img, "boxes": boxes, "classes": classes,
             "masks": masks, "valid": valid, "water_mask": water_mask,
+            "keypoints": keypoints,
             "head_y": np.float32(head_y), "feet_y": np.float32(feet_y)}
 
 
@@ -224,7 +257,7 @@ class SyntheticPeopleDataset:
             np.random.SeedSequence([self.seed + 7, epoch, idx]))
         sc = render_person_scene(rng, self.size)
         return (sc["image"], sc["boxes"], sc["classes"], sc["masks"],
-                sc["valid"].astype(np.float32))
+                sc["valid"].astype(np.float32), sc["keypoints"])
 
     __getitem__ = get
 

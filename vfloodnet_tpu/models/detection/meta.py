@@ -138,6 +138,14 @@ class GeneralizedRCNN(nn.Module):
                                      STRIDES, pooled=14)
         return self.mask_head(feats)
 
+    def keypoint_apply(self, pyramid, rois):
+        """ROI keypoint heatmaps [R, 56, 56, K] for the trainer (the
+        reference's people detector IS Keypoint R-CNN,
+        estimation/object_detection.py:21-25)."""
+        feats = multilevel_roi_align([p[0] for p in pyramid[:4]], rois,
+                                     STRIDES, pooled=14)
+        return self.keypoint_head(feats)
+
     def init_all(self, image_bgr: jnp.ndarray):
         """__call__ plus a dummy point-head invocation so ``init`` creates
         the COMPLETE parameter tree: the PointRend refinement runs outside

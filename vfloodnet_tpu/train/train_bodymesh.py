@@ -14,6 +14,8 @@ ratio, reference :337-387).
 
 from __future__ import annotations
 
+import dataclasses
+
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -25,11 +27,16 @@ from flax import struct
 from ..models.metro import BodyMeshRegressor, project_orthographic
 
 
+@dataclasses.dataclass
 class BodyMeshTrainConfig:
     lr: float = 3e-4
     weight_decay: float = 1e-4
     crop_size: int = 224
     seed: int = 0
+    # cosine decay horizon; 0 = constant lr. A flat 3e-4 with live BN was
+    # measured to thrash late in training (loss 0.07 -> 1.8 spikes near
+    # step 1200 produced a diverged final checkpoint, round-4 log).
+    total_steps: int = 0
 
 
 class BodyMeshTrainState(struct.PyTreeNode):
@@ -43,8 +50,10 @@ def init_bodymesh_train_state(model: BodyMeshRegressor, variables,
                               cfg: BodyMeshTrainConfig
                               ) -> Tuple[BodyMeshTrainState,
                                          optax.GradientTransformation]:
+    lr = (optax.cosine_decay_schedule(cfg.lr, cfg.total_steps, 0.02)
+          if cfg.total_steps else cfg.lr)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
-                     optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
+                     optax.adamw(lr, weight_decay=cfg.weight_decay))
     params = variables["params"]
     return BodyMeshTrainState(
         step=jnp.zeros((), jnp.int32),

@@ -55,6 +55,8 @@ class DetectionTrainConfig:
     rpn_neg_iou: float = 0.3
     roi_fg_iou: float = 0.5
     mask_weight: float = 1.0
+    keypoint_weight: float = 1.0
+    keypoint_rois: int = 16    # fg ROIs fed to the keypoint head per step
     epochs: int = 8
     seed: int = 0
 
@@ -162,8 +164,10 @@ def _training_proposals(key, anchors, logits_flat, deltas_flat, gt, gt_valid,
 
 def detection_loss(model: GeneralizedRCNN, variables, cfg,
                    anchors: jnp.ndarray, key, image, gt_boxes, gt_classes,
-                   gt_masks, gt_valid):
-    """Full single-image loss. image [S, S, 3] BGR 0..255."""
+                   gt_masks, gt_valid, gt_keypoints=None):
+    """Full single-image loss. image [S, S, 3] BGR 0..255.
+    ``gt_keypoints`` [G, K, 3] (x, y, vis) enables the keypoint heatmap
+    loss when the model config has ``with_keypoints``."""
     tc = cfg
     mc = model.cfg
     s = image.shape[0]
@@ -229,6 +233,36 @@ def detection_loss(model: GeneralizedRCNN, variables, cfg,
         loss = loss + tc.mask_weight * mask_loss
         aux["mask"] = mask_loss
 
+    if mc.with_keypoints and gt_keypoints is not None:
+        # Detectron2 keypoint_rcnn_loss semantics (roi_heads/keypoint_head
+        # .py): per-VISIBLE-keypoint softmax cross-entropy over the S*S
+        # heatmap grid of each fg ROI, normalized by the visible-keypoint
+        # count. Static shapes: the keypoint head runs on the first
+        # ``keypoint_rois`` fg ROIs (stable argsort puts the GT-box ROIs
+        # first).
+        kr = min(tc.keypoint_rois, tc.roi_n)
+        sel = jnp.argsort(-fg_f)[:kr]                   # stable: gt first
+        kp_rois = rois[sel]
+        heat = model.apply(variables, pyramid, kp_rois,
+                           method=model.keypoint_apply)  # [kr, S, S, K]
+        side = heat.shape[1]
+        kps = gt_keypoints[arg[sel]]                    # [kr, K, 3]
+        x1, y1 = kp_rois[:, 0:1], kp_rois[:, 1:2]
+        bw = jnp.maximum(kp_rois[:, 2:3] - x1, 1e-3)
+        bh = jnp.maximum(kp_rois[:, 3:4] - y1, 1e-3)
+        ix = jnp.floor((kps[..., 0] - x1) / bw * side).astype(jnp.int32)
+        iy = jnp.floor((kps[..., 1] - y1) / bh * side).astype(jnp.int32)
+        inside = (ix >= 0) & (ix < side) & (iy >= 0) & (iy < side)
+        vis = (kps[..., 2] > 0) & inside & fg[sel][:, None]
+        tgt = jnp.clip(iy, 0, side - 1) * side + jnp.clip(ix, 0, side - 1)
+        logits = jnp.moveaxis(heat.reshape(kr, side * side, -1), -1, 1)
+        kce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), tgt)            # [kr, K]
+        visf = vis.astype(jnp.float32)
+        kp_loss = jnp.sum(kce * visf) / jnp.maximum(jnp.sum(visf), 1.0)
+        loss = loss + tc.keypoint_weight * kp_loss
+        aux["kp"] = kp_loss
+
     return loss, aux
 
 
@@ -252,7 +286,7 @@ def make_detection_train_step(model: GeneralizedRCNN,
     anchors = level_anchors(cfg.image_size)
 
     def step(state: DetectionTrainState, image, gt_boxes, gt_classes,
-             gt_masks, gt_valid):
+             gt_masks, gt_valid, gt_keypoints=None):
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
 
         def loss_fn(params):
@@ -261,7 +295,7 @@ def make_detection_train_step(model: GeneralizedRCNN,
                 variables["batch_stats"] = state.batch_stats
             return detection_loss(model, variables, cfg, anchors, key,
                                   image, gt_boxes, gt_classes, gt_masks,
-                                  gt_valid)
+                                  gt_valid, gt_keypoints)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -286,12 +320,15 @@ def tiny_stopsign_config(image_size: int = 320) -> RCNNConfig:
 
 
 def tiny_people_config(image_size: int = 320) -> RCNNConfig:
-    """Synthetic-trainable person detector for the people-depth chain
-    (reference: Keypoint R-CNN boxes, estimation/object_detection.py:
-    269-281 — the depth path consumes only the person BOXES, :191-243, so
-    the tiny variant trains the box head; keypoints stay off)."""
+    """Synthetic-trainable person detector for the people-depth chain.
+    The reference's people detector IS Keypoint R-CNN
+    (estimation/object_detection.py:21-25,269-281), so the tiny variant
+    trains the keypoint head too (heatmap CE on the synthetic scenes'
+    COCO-17 geometry); the depth path consumes the person BOXES
+    (:191-243) and the e2e test asserts keypoint geometry."""
     return RCNNConfig(blocks=(1, 1, 1, 1), num_classes=80,
                       with_masks=True, with_pointrend=False,
+                      with_keypoints=True,
                       score_thresh=0.5, post_nms_topk=256,
                       max_detections=16, test_short_side=image_size,
                       test_max_side=image_size * 2)
