@@ -67,7 +67,42 @@ def main():
         dev_vars = jax.device_put(variables)
         dev_img = jax.device_put(padded)
         t0 = time.time()
-        ms = timeit(model.apply, dev_vars, dev_img, iters=10)
+        if cfg.jit_split:
+            # the full fused graph crashes the TPU worker at this scale
+            # (meta.py infer_front); time the production split-jit pieces
+            def front(vs, im):
+                return model.apply(vs, im, method=model.infer_front)
+
+            hw = tuple(padded.shape[:2])
+            ms_f = timeit(front, dev_vars, dev_img, iters=10)
+            feats, props, pv = jax.jit(front)(dev_vars, dev_img)
+            if int(cfg.jit_split) >= 2:
+                def boxes_fn(vs, f, p, v):
+                    return model.apply(vs, f, p, v, hw,
+                                       method=model.infer_boxes)
+
+                def tail_fn(vs, f, *det):
+                    return model.apply(vs, f, *det,
+                                       method=model.infer_tail)
+
+                ms_b = timeit(boxes_fn, dev_vars, feats, props, pv,
+                              iters=10)
+                det = jax.jit(boxes_fn)(dev_vars, feats, props, pv)
+                ms_t = timeit(tail_fn, dev_vars, feats, *det, iters=10)
+                ms = ms_f + ms_b + ms_t
+                print(f"  front {ms_f:.1f} + boxes {ms_b:.1f} + tail "
+                      f"{ms_t:.1f} ms (jit_split=2)")
+            else:
+                def back(vs, f, p, v):
+                    return model.apply(vs, f, p, v, hw,
+                                       method=model.infer_back)
+
+                ms_b = timeit(back, dev_vars, feats, props, pv, iters=10)
+                ms = ms_f + ms_b
+                print(f"  front {ms_f:.1f} + back {ms_b:.1f} ms "
+                      f"(jit_split)")
+        else:
+            ms = timeit(model.apply, dev_vars, dev_img, iters=10)
         print(f"  compile+bench      {time.time() - t0:.1f}s")
         print(f"  device forward     {ms:7.1f} ms/img ({1000.0/ms:.2f} fps)")
 

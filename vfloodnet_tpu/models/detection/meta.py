@@ -49,6 +49,13 @@ class RCNNConfig:
     # input resize (Detectron2 test default)
     test_short_side: int = 800
     test_max_side: int = 1333
+    # jit-granularity of inference (see infer_front): the whole fused graph
+    # crashes the TPU worker at full scale, and for the 80-class PointRend
+    # config even the fused ROI-heads half does. 0 = one jit (tiny
+    # variants), 1 = front/back (Keypoint R-CNN scale), 2 = front/boxes/
+    # mask-tail (X-101 PointRend scale). Each level was bisected on the
+    # real chip: every listed granularity runs, one level coarser crashes.
+    jit_split: int = 0
 
 
 class GeneralizedRCNN(nn.Module):
@@ -81,37 +88,57 @@ class GeneralizedRCNN(nn.Module):
         """image_bgr [H, W, 3] float (0..255 BGR, already resized + padded to
         a multiple of 32). Returns a dict of static-shape detections."""
         h, w, _ = image_bgr.shape
+        feats, proposals, prop_valid = self.infer_front(image_bgr)
+        return self.infer_back(feats, proposals, prop_valid, (h, w))
+
+    def infer_front(self, image_bgr: jnp.ndarray):
+        """Backbone + FPN + RPN half of inference. Split out because the
+        WHOLE fused graph reproducibly crashes the TPU worker at the
+        full-scale operating point (800px, 1000 proposals, R-101/X-101)
+        while each half compiles and runs fine — build_detector jits the
+        halves separately when ``cfg.jit_split`` (two dispatches/image)."""
         x = (image_bgr - jnp.asarray(PIXEL_MEAN_BGR))[None]
         c2, c3, c4, c5 = self.backbone(x.astype(self.dtype))
         pyramid = self.fpn((c2, c3, c4, c5))                 # P2..P6
+        proposals, _, prop_valid = self.rpn(pyramid,
+                                            image_bgr.shape[:2])
+        return tuple(p[0] for p in pyramid[:4]), proposals, prop_valid
 
-        proposals, _, prop_valid = self.rpn(pyramid, (h, w))
+    def infer_back(self, feats, proposals, prop_valid, image_hw):
+        """ROI heads half of inference (see :meth:`infer_front`)."""
+        det = self.infer_boxes(feats, proposals, prop_valid, image_hw)
+        return self.infer_tail(feats, *det)
 
-        box_feats = multilevel_roi_align(
-            [p[0] for p in pyramid[:4]], proposals, STRIDES, pooled=7)
+    def infer_boxes(self, feats, proposals, prop_valid, image_hw):
+        """Box head + class-aware NMS (jit_split level 2 piece)."""
+        feats = list(feats)
+        box_feats = multilevel_roi_align(feats, proposals, STRIDES, pooled=7)
         scores, deltas = self.box_head(box_feats)
-        boxes, det_scores, det_classes, det_valid = box_inference(
-            proposals, prop_valid, scores, deltas, (h, w),
+        return box_inference(
+            proposals, prop_valid, scores, deltas, image_hw,
             self.cfg.score_thresh, self.cfg.nms_thresh,
             self.cfg.max_detections)
 
+    def infer_tail(self, feats, boxes, det_scores, det_classes, det_valid):
+        """Mask/PointRend-coarse/keypoint heads on the final detections
+        (jit_split level 2 piece)."""
+        feats = list(feats)
         out = {"boxes": boxes, "scores": det_scores, "classes": det_classes,
                "valid": det_valid}
 
         if self.cfg.with_masks:
-            mask_feats = multilevel_roi_align(
-                [p[0] for p in pyramid[:4]], boxes, STRIDES, pooled=14)
+            mask_feats = multilevel_roi_align(feats, boxes, STRIDES,
+                                              pooled=14)
             mask_logits = self.mask_head(mask_feats)         # [D, 28, 28, K]
             sel = jnp.take_along_axis(
                 mask_logits, det_classes[:, None, None, None], axis=-1)[..., 0]
             out["mask_logits"] = sel                         # [D, 28, 28]
             if self.cfg.with_pointrend:
-                out["p2"] = pyramid[0][0]
+                out["p2"] = feats[0]
                 out["coarse_all"] = mask_logits              # [D, 28, 28, K]
 
         if self.cfg.with_keypoints:
-            kp_feats = multilevel_roi_align(
-                [p[0] for p in pyramid[:4]], boxes, STRIDES, pooled=14)
+            kp_feats = multilevel_roi_align(feats, boxes, STRIDES, pooled=14)
             heat = self.keypoint_head(kp_feats)              # [D, 56, 56, K]
             out["keypoint_heatmaps"] = heat
 
@@ -204,11 +231,7 @@ def build_detector(cfg: RCNNConfig, variables, refine_points: bool = True
 
     use_pointrend = cfg.with_pointrend and refine_points
 
-    def _apply(vs, img):
-        # NOTE: vs is a jit ARGUMENT, not a closure constant — closed-over
-        # weights get baked into the HLO as literals, which blows past the
-        # remote-compile relay's request-size limit for X-101-sized models.
-        out = model.apply(vs, img)
+    def _refine(vs, out):
         if use_pointrend and "mask_logits" in out:
             # PointRend subdivision refinement per detection (28 -> 224),
             # vmapped over the fixed detection count.
@@ -231,13 +254,58 @@ def build_detector(cfg: RCNNConfig, variables, refine_points: bool = True
         out.pop("coarse_all", None)
         return out
 
-    apply_fn = jax.jit(_apply)
+    def _apply(vs, img):
+        # NOTE: vs is a jit ARGUMENT, not a closure constant — closed-over
+        # weights get baked into the HLO as literals, which blows past the
+        # remote-compile relay's request-size limit for X-101-sized models.
+        return _refine(vs, model.apply(vs, img))
+
+    def _apply_front(vs, img):
+        return model.apply(vs, img, method=model.infer_front)
+
+    def _apply_back(vs, feats, proposals, prop_valid, hw):
+        out = model.apply(vs, feats, proposals, prop_valid, hw,
+                          method=model.infer_back)
+        return _refine(vs, out)
+
     variables = jax.device_put(variables)   # upload once, reuse per call
+
+    if int(cfg.jit_split) >= 2:
+        # Three dispatches per image (X-101 PointRend scale: even the
+        # fused ROI-heads half crashes the TPU worker — bisected on chip).
+        front_fn = jax.jit(_apply_front)
+        boxes_fn = jax.jit(
+            lambda vs, f, p, pv, hw: model.apply(
+                vs, f, p, pv, hw, method=model.infer_boxes),
+            static_argnums=(4,))
+        tail_fn = jax.jit(
+            lambda vs, f, *det: _refine(
+                vs, model.apply(vs, f, *det, method=model.infer_tail)))
+
+        def run(vs, padded):
+            feats, proposals, pv = front_fn(vs, padded)
+            det = boxes_fn(vs, feats, proposals, pv,
+                           tuple(padded.shape[:2]))
+            return tail_fn(vs, feats, *det)
+    elif cfg.jit_split:
+        # Two dispatches per image: the single fused inference graph
+        # reproducibly crashes the TPU worker at the full-scale operating
+        # point while both halves run fine (see infer_front docstring).
+        front_fn = jax.jit(_apply_front)
+        back_fn = jax.jit(_apply_back, static_argnums=(4,))
+
+        def run(vs, padded):
+            feats, proposals, pv = front_fn(vs, padded)
+            return back_fn(vs, feats, proposals, pv,
+                           tuple(padded.shape[:2]))
+    else:
+        apply_fn = jax.jit(_apply)
+        run = apply_fn
 
     def detector(img_bgr: np.ndarray) -> Instances:
         padded, scale = preprocess_bgr(img_bgr, cfg.test_short_side,
                                        cfg.test_max_side)
-        out = jax.device_get(apply_fn(variables, jax.device_put(padded)))
+        out = jax.device_get(run(variables, jax.device_put(padded)))
         valid = out["valid"]
         boxes = out["boxes"] / scale
         n = int(valid.sum())
@@ -278,13 +346,13 @@ def _heatmaps_to_keypoints(heatmaps: np.ndarray, boxes: np.ndarray
 def stopsign_rcnn_config() -> RCNNConfig:
     """PointRend X-101-32x8d instance segmentation (stop signs)."""
     return RCNNConfig(groups=32, width_per_group=8, score_thresh=0.5,
-                      with_masks=True, with_pointrend=True)
+                      with_masks=True, with_pointrend=True, jit_split=2)
 
 
 def keypoint_rcnn_config() -> RCNNConfig:
     """Keypoint R-CNN R-101 (people)."""
     return RCNNConfig(groups=1, width_per_group=64, score_thresh=0.7,
-                      num_classes=1, with_keypoints=True)
+                      num_classes=1, with_keypoints=True, jit_split=1)
 
 
 def _sidecar_config(path: str) -> Optional[RCNNConfig]:
