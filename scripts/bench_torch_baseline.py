@@ -40,10 +40,10 @@ def main():
     from tests.test_e2e_parity import _tv_resize
     from tests.torch_oracle import load_reference
 
+    afb_mod, fb_mod = load_reference()   # installs torchvision stubs
+
     sys.path.insert(0, "/root/reference")
     import myutils
-
-    afb_mod, fb_mod = load_reference()
     torch.manual_seed(0)
     model = afb_mod.AFB_URR(torch.device("cpu"), update_bank=True,
                             load_imagenet_params=False)
