@@ -306,6 +306,12 @@ def main():
             batched_fps = measure_batched(model, variables, budget, res_hw,
                                           operating, streams, n_measure)
             result[f"batched_fps_{streams}_streams"] = round(batched_fps, 3)
+            if "step_gflops" in result:
+                peak = _peak_flops(jax.devices()[0])
+                if peak:
+                    result["mfu_pct_batched"] = round(
+                        100.0 * result["step_gflops"] * 1e9 * batched_fps
+                        / peak, 2)
             if batched_fps > fps:
                 # headline = best per-chip throughput; single-stream numbers
                 # stay in single_stream_fps / p50_latency_ms

@@ -44,12 +44,14 @@ def main():
     img = (rng.rand(1080, 1920, 3) * 255).astype(np.uint8)  # 1080p still
 
     only = os.environ.get("VFLOOD_BENCH_DET_ONLY")  # 'stopsign' | 'people'
+    dtype = (jnp.bfloat16 if os.environ.get("VFLOOD_BENCH_DET_DTYPE")
+             == "bf16" else jnp.float32)
     configs = (("pointrend_x101 (stopsign)", stopsign_rcnn_config()),
                ("keypoint_r101 (people)", keypoint_rcnn_config()))
     for name, cfg in configs:
         if only and only not in name:
             continue
-        model = GeneralizedRCNN(cfg)
+        model = GeneralizedRCNN(cfg, dtype=dtype)
         init = jax.jit(lambda key, im, model=model:
                        model.init(key, im, method=model.init_all))
         from _bench_timing import force
@@ -58,7 +60,7 @@ def main():
         force(variables)   # real sync (relay-lazy block_until_ready)
         print(f"{name}: init {time.time() - t0:.1f}s")
 
-        detector = build_detector(cfg, variables)
+        detector = build_detector(cfg, variables, dtype=dtype)
         padded, _ = preprocess_bgr(img, cfg.test_short_side,
                                    cfg.test_max_side)
         print(f"  input {padded.shape}")
@@ -124,6 +126,7 @@ def main():
             "fps": round(1000.0 / rt_ms, 3),
             "platform": jax.devices()[0].platform,
             "weights": "random-init",
+            "dtype": "bf16" if dtype != jnp.float32 else "f32",
         }))
 
 

@@ -221,13 +221,17 @@ def paste_mask(mask_logit: np.ndarray, box: np.ndarray, out_hw,
     return out
 
 
-def build_detector(cfg: RCNNConfig, variables, refine_points: bool = True
-                   ) -> Callable:
+def build_detector(cfg: RCNNConfig, variables, refine_points: bool = True,
+                   dtype=jnp.float32) -> Callable:
     """Wrap a GeneralizedRCNN into the host-level Detector contract used by
-    the estimation pipeline (numpy in / Instances out)."""
+    the estimation pipeline (numpy in / Instances out).
+
+    ``dtype=jnp.bfloat16`` runs the conv/matmul path at full MXU rate
+    (params stay f32; box/NMS arithmetic is f32 either way). Default f32
+    matches the reference's Detectron2 inference numerics."""
     from ...pipelines.object_detection import Instances
 
-    model = GeneralizedRCNN(cfg)
+    model = GeneralizedRCNN(cfg, dtype=dtype)
 
     use_pointrend = cfg.with_pointrend and refine_points
 

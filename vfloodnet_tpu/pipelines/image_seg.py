@@ -78,14 +78,27 @@ def run_image_segmentation(test_path: str, test_name: str,
                            model_path: Optional[str] = None,
                            model=None, variables=None,
                            batch_size: int = 4,
-                           postprocess: bool = True) -> list:
+                           postprocess: bool = True,
+                           tail: str = "auto") -> list:
     """Segment one image file or a directory of images.
+
+    ``tail``: where the resize-back + threshold + largest-CC cleanup runs —
+    'host' (cv2 at full resolution, the reference's exact path,
+    test_image_seg.py:108-121), 'device' (jitted: component filter at
+    model resolution with upsampled keep-mask, same design as the video
+    engine's device CC; one graph per output size), or 'auto' (device when
+    an accelerator backs the process and the host is too weak to overlap
+    the cv2 tail — same policy as video_seg.resolve_postprocess).
 
     Returns list of (mask_path, overlay_path).
     """
     if model is None:
         from ..models.linknet import load_linknet
         model, variables = load_linknet(model_path)
+
+    if tail == "auto":
+        accel = jax.devices()[0].platform != "cpu"
+        tail = "device" if accel and (os.cpu_count() or 1) < 4 else "host"
 
     mask_out = os.path.join(out_path, test_name, "mask")
     overlay_out = os.path.join(out_path, test_name, "overlay")
@@ -114,12 +127,32 @@ def run_image_segmentation(test_path: str, test_name: str,
     def forward(batch01):
         return _forward(variables, batch01)
 
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2,))
+    def _forward_device_tail(variables, batch01, out_hw):
+        """Forward + full device tail: one dispatch, uint8 labels out (the
+        [B, H, W] label D2H is ~8x smaller than the f32 prob maps the host
+        tail needs). One compiled graph per output size."""
+        probs = model.apply(variables, batch01)[..., 0]
+        label416 = (probs > 0.5).astype(jnp.uint8)
+        up = ops.resize(probs, out_hw, "bilinear", spatial_axes=(-2, -1))
+        label = (up > 0.5).astype(jnp.uint8)
+        if postprocess:
+            keep = jax.vmap(ops.largest_connected_component)(label416)
+            keep_full = ops.resize(keep, out_hw, "nearest",
+                                   spatial_axes=(-2, -1))
+            label = label * keep_full
+        from .video_seg import pack_bits
+        return jax.vmap(pack_bits)(label)    # 8x smaller D2H
+
     writer = ThreadPoolExecutor(max_workers=2)
     results: List[Tuple[str, str]] = []
     futures = []
 
-    def _write(path, prob416, img_np):
-        label = _host_tail(prob416, img_np.shape[:2], postprocess)
+    def _write(path, prob416, img_np, label=None):
+        if label is None:
+            label = _host_tail(prob416, img_np.shape[:2], postprocess)
         base = os.path.splitext(os.path.basename(path))[0]
         mask_path = os.path.join(mask_out, base + ".png")
         overlay_path = os.path.join(overlay_out, base + ".png")
@@ -137,11 +170,25 @@ def run_image_segmentation(test_path: str, test_name: str,
             inputs.append(np.asarray(resized, np.float32) / 255.0)
         while len(inputs) < b:                          # pad last batch
             inputs.append(inputs[-1])
-        probs = forward(jax.device_put(np.stack(inputs)))
-        probs.copy_to_host_async()
-        probs_np = np.asarray(jax.device_get(probs))
-        for j, path in enumerate(chunk):
-            futures.append(writer.submit(_write, path, probs_np[j], imgs[j]))
+        batch = jax.device_put(np.stack(inputs))
+        same_hw = all(im.shape[:2] == imgs[0].shape[:2] for im in imgs)
+        if tail == "device" and same_hw:
+            labels = _forward_device_tail(variables, batch,
+                                          tuple(imgs[0].shape[:2]))
+            labels.copy_to_host_async()
+            from .video_seg import unpack_bits
+            labels_np = unpack_bits(np.asarray(jax.device_get(labels)),
+                                    imgs[0].shape[1])
+            for j, path in enumerate(chunk):
+                futures.append(writer.submit(_write, path, None, imgs[j],
+                                             labels_np[j]))
+        else:
+            probs = forward(batch)
+            probs.copy_to_host_async()
+            probs_np = np.asarray(jax.device_get(probs))
+            for j, path in enumerate(chunk):
+                futures.append(writer.submit(_write, path, probs_np[j],
+                                             imgs[j]))
 
     for f in futures:
         results.append(f.result())
