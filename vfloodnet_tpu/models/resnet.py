@@ -106,6 +106,7 @@ class StemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, extra_in=(), extra_kernels=()):
+        import os
         kernel = self.param(
             "kernel", nn.initializers.variance_scaling(
                 1.0, "fan_in", "truncated_normal"),
@@ -116,7 +117,20 @@ class StemConv(nn.Module):
             kernel = jnp.concatenate(
                 [kernel] + [k.astype(kernel.dtype) for k in extra_kernels],
                 axis=2)
-        return _space_to_depth_stem_conv(x, kernel, self.dtype)
+        # Default lowering is the plain stride-2 conv: a within-session A/B
+        # on the fused video step measured the space-to-depth form 2.5 ms
+        # SLOWER per frame (13.4 vs 10.9 ms — the 480p input reshuffle
+        # outweighs the stem conv it saves once XLA fuses; the standalone
+        # trace that motivated s2d had charged the stem its un-overlapped
+        # cost). The channel-concat mask-stem fusion above is the part
+        # that pays; VFLOOD_STEM_S2D=1 re-enables s2d for hosts where the
+        # trade differs.
+        if os.environ.get("VFLOOD_STEM_S2D", "0") == "1":
+            return _space_to_depth_stem_conv(x, kernel, self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (2, 2),
+            [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class StemKernel(nn.Module):
