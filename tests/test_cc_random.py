@@ -109,3 +109,21 @@ def test_device_largest_cc_scale8_demo_masks():
             union = float(np.logical_or(got, ref).sum())
             iou = float(np.logical_and(got, ref).sum()) / max(union, 1.0)
             assert iou >= 0.999, f"{nm}: scale-8 CC IoU {iou} vs full-res"
+
+
+def test_onehot_gather_path_matches_native(monkeypatch):
+    """The TPU one-hot jump-gather decomposition (ops/cc.py gather_flat)
+    must be label-exact: same CC output as the native-gather path on
+    speckle masks whose grid size falls in the one-hot window."""
+    import numpy as np
+
+    from vfloodnet_tpu import ops
+
+    rng = np.random.RandomState(7)
+    for density in (0.35, 0.5, 0.65):
+        mask = (rng.rand(60, 107) < density).astype(np.uint8)
+        monkeypatch.setenv("VFLOOD_CC_GATHER", "native")
+        ref = np.asarray(ops.largest_connected_component(mask))
+        monkeypatch.setenv("VFLOOD_CC_GATHER", "onehot")
+        one = np.asarray(ops.largest_connected_component(mask))
+        assert np.array_equal(ref, one)

@@ -116,11 +116,46 @@ def _sweep(labels: jnp.ndarray, fg: jnp.ndarray, seg_enc=None) -> jnp.ndarray:
     # interleaved between the row and column scan phases: labels spread along
     # rows get shortcut before being spread down columns, which measurably
     # cuts the number of while-loop sweeps on maze/percolation masks.
+    def gather_flat(flat, idx):
+        """flat[idx] for s32 labels. On TPU an arbitrary 1-D gather lowers
+        to a serial loop (profiled 0.43 ms at n=6360, the dominant sweep
+        cost); decomposed as two one-hot contractions over a sqrt(n) x
+        sqrt(n) layout it runs on the MXU/VPU in ~1/20th the time. Label
+        values (< h*w) and _INF (a power of two) are f32-exact, and each
+        row of the one-hot has exactly one nonzero, so the contraction is
+        exact."""
+        n = flat.shape[0]
+        # bounds: below 1024 the native gather is fine; above ~16k the
+        # [n, sqrt(n)] one-hot outgrows its win (the production CC grid is
+        # the 1/8-scale 60x107 = 6360). VFLOOD_CC_GATHER=onehot|native
+        # overrides (tests exercise the one-hot math on CPU with it).
+        import os as _os
+        impl = _os.environ.get("VFLOOD_CC_GATHER", "auto")
+        use_onehot = impl == "onehot" or (
+            impl == "auto" and jax.default_backend() == "tpu")
+        if not use_onehot or not 1024 <= n <= 16384:
+            return flat[idx]
+        import math as _math
+        c = int(_math.ceil(_math.sqrt(n)))
+        vals = jnp.pad(flat, (0, c * c - n)).reshape(c, c)
+        a = idx // c
+        b = idx % c
+        iota = jnp.arange(c, dtype=jnp.int32)
+        rows = (a[:, None] == iota[None, :]).astype(jnp.float32)
+        # precision=HIGHEST: the TPU matmul default truncates inputs to
+        # bf16, which rounds label values > 256 (caught on-chip: one
+        # flipped pixel on a speckle mask); the 3-pass f32-equivalent
+        # mode keeps sub-2^24 integers exact.
+        m1 = jax.lax.dot(rows, vals.astype(jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)  # [n, c]
+        out = jnp.sum(m1 * (b[:, None] == iota[None, :]), axis=1)
+        return out.astype(flat.dtype)
+
     def jump(x, times):
         flat = x.reshape(-1)
         for _ in range(times):
             idx = jnp.clip(flat, 0, h * w - 1)
-            jumped = jnp.where(flat < _INF, flat[idx], _INF)
+            jumped = jnp.where(flat < _INF, gather_flat(flat, idx), _INF)
             flat = jnp.minimum(flat, jumped)
         return flat.reshape(h, w)
 
