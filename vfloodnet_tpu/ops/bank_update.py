@@ -293,12 +293,31 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
         # packed at the front so reads/matches stay O(occupancy).
         occ = jnp.asarray(occ, jnp.int32)
         free_n = jnp.int32(n) - occ
-        prio = jnp.where(jnp.logical_and(valid, jnp.logical_not(protected)),
-                         lfu, jnp.float32(1e30))
-        if jax.default_backend() == "tpu":
-            _, victim_order = jax.lax.approx_min_k(prio, k)
-        else:
-            _, victim_order = jax.lax.top_k(-prio, k)
+        appended_n = jnp.sum(append_mask.astype(jnp.int32))
+
+        # The LFU victim selection (an approx-top-k over the whole
+        # capacity, ~0.27 ms/step profiled) only matters once the dense
+        # prefix is exhausted — lax.cond skips it for the entire
+        # below-capacity life of a video. The dummy branch's all-1e30
+        # prio makes every victim drop, which the dest select below never
+        # consults while rank < free_n.
+        def _select_victims(_):
+            prio = jnp.where(
+                jnp.logical_and(valid, jnp.logical_not(protected)),
+                lfu, jnp.float32(1e30))
+            if jax.default_backend() == "tpu":
+                _, vo = jax.lax.approx_min_k(prio, k)
+            else:
+                _, vo = jax.lax.top_k(-prio, k)
+            return vo.astype(jnp.int32), prio
+
+        def _no_victims(_):
+            return (jnp.zeros((k,), jnp.int32),
+                    jnp.full((n,), 1e30, jnp.float32))
+
+        victim_order, prio = jax.lax.cond(appended_n > free_n,
+                                          _select_victims, _no_victims,
+                                          operand=None)
         evict_rank = jnp.clip(rank - free_n, 0, k - 1)
         victim = victim_order[evict_rank].astype(jnp.int32)
         # A 1e30 victim means no evictable valid slot is left (only possible
@@ -307,7 +326,6 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
         victim = jnp.where(prio[victim] < 1e30, victim, n)
         dest = jnp.where(rank < free_n, occ + rank, victim)
         dest = jnp.where(append_mask, dest, n)             # n -> dropped
-        appended_n = jnp.sum(append_mask.astype(jnp.int32))
         evicted = jnp.clip(appended_n - free_n, 0, occ)
         occ_new = jnp.minimum(occ + appended_n, jnp.int32(n))
     else:
