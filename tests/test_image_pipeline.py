@@ -34,3 +34,38 @@ def test_run_image_segmentation_batched(tmp_path):
     m0 = load_mask(os.path.join(out_dir, "t", "mask", "im0.png"))
     assert m0.shape == sizes[0]
     assert set(np.unique(m0)) <= {0, 1}
+
+
+def test_device_tail_matches_host_tail(tmp_path):
+    """run_image_segmentation's device tail (round 4) must agree with the
+    reference-shaped host tail on the final mask to the same tolerance the
+    video engine's device CC is held to (coarse-grid component filter +
+    upsampled keep-mask vs full-res cv2)."""
+    import numpy as np
+    from PIL import Image
+
+    from vfloodnet_tpu.models.linknet import load_linknet
+    from vfloodnet_tpu.pipelines.image_seg import run_image_segmentation
+    from vfloodnet_tpu.utils import load_mask
+
+    model, variables = load_linknet(None)     # bundled demo weights
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(repo, "records", "demo_train", "JPEGImages",
+                       "img_exp")
+    img = sorted(os.listdir(src))[0]
+    still = str(tmp_path / "still.png")
+    Image.open(os.path.join(src, img)).convert("RGB").resize(
+        (648, 486)).save(still)
+
+    rh = run_image_segmentation(still, "host", str(tmp_path), model=model,
+                                variables=variables, tail="host")
+    rd = run_image_segmentation(still, "dev", str(tmp_path), model=model,
+                                variables=variables, tail="device")
+    mh = load_mask(rh[0][0]) > 0
+    md = load_mask(rd[0][0]) > 0
+    union = (mh | md).sum()
+    iou = (mh & md).sum() / max(union, 1)
+    # measured 0.9980 on the demo still (differences are the thin band
+    # where the model-res component filter and the full-res cv2 filter
+    # disagree at the upsample boundary); the spec budget is 0.5% mIoU
+    assert iou >= 0.995, f"device/host tail IoU {iou}"
