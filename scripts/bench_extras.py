@@ -204,12 +204,19 @@ def stage_streaming_waterlevel():
             frames_np[0].astype(np.float32) / 255.0, mask0)
         state, lv, ls = sw.step(state, frames[0], 1)
         force(ls)
+        # production async pattern: hits fetch in the background, levels
+        # resolved at the end (timed — the fetches are part of the run)
         t0 = time.time()
+        pendings = []
         for i in range(n):
-            state, lv, _ = sw.step(state, frames[i % len(frames)], 2 + i)
-        dt = time.time() - t0   # sw.step D2H-fetches levels every frame
+            state, pending, _ = sw.step_async(state,
+                                              frames[i % len(frames)],
+                                              2 + i)
+            pendings.append(pending)
+        all_levels = [sw.resolve(p) for p in pendings]
+        dt = time.time() - t0
         best = max(best, n / dt)
-        levels = lv
+        levels = all_levels[-1]
     _emit({"metric": "streaming_waterlevel_fps_per_chip",
            "value": round(best, 3), "unit": "frames/sec/chip",
            "frames": n, "trackers": len(arr),

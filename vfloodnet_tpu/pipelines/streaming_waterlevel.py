@@ -53,9 +53,13 @@ class StreamingWaterLevel:
 
         self._scan = _scan
 
-    def step(self, state, frame, frame_idx: int):
-        """Returns (state, levels_px [T] in FULL-res pixels (NaN = no water),
-        label_small device handle)."""
+    def step_async(self, state, frame, frame_idx: int):
+        """One frame WITHOUT the level D2H: returns (state, pending,
+        label_small). ``pending`` resolves to levels via :meth:`resolve` —
+        the per-frame synchronous scalar fetch costs one relay round trip
+        (~30 ms, measured to cap the fused path at 21 fps on the tunnel
+        while the step itself runs ~11 ms); deferring the tiny [T] hits
+        fetch lets the propagation free-run."""
         full_h = frame.shape[0]
         state, _, label_small = self.engine._step(
             state, self.engine.upload(frame) if not isinstance(frame, jax.Array)
@@ -68,16 +72,28 @@ class StreamingWaterLevel:
             rows.append(int((y + h) * scale))
         hits = self._scan(label_small, jnp.asarray(cols, jnp.int32),
                           jnp.asarray(rows, jnp.int32))
+        hits.copy_to_host_async()
+        return state, (hits, rows, scale, sh), label_small
+
+    @staticmethod
+    def resolve(pending):
+        """Pending scan -> levels_px [T] in FULL-res pixels (NaN = none)."""
+        hits, rows, scale, small_h = pending
         hits = np.asarray(jax.device_get(hits))
         levels = []
-        small_h = label_small.shape[0]
         for hit, row in zip(hits, rows):
             if hit >= small_h:
                 levels.append(np.nan)
             else:
                 lv = (hit - row) / scale
                 levels.append(np.nan if lv <= 1.0 / scale else float(lv))
-        return state, levels, label_small
+        return levels
+
+    def step(self, state, frame, frame_idx: int):
+        """Synchronous variant: (state, levels_px [T], label_small)."""
+        state, pending, label_small = self.step_async(state, frame,
+                                                      frame_idx)
+        return state, self.resolve(pending), label_small
 
 
 def run_streaming_waterlevel(test_path: str, test_name: str,
@@ -148,12 +164,11 @@ def run_streaming_waterlevel(test_path: str, test_name: str,
     stream = StreamingWaterLevel(engine, ref_bboxes)
 
     timestamps: List[datetime] = []
-    levels: List[List[float]] = []
+    pendings: List = []
     fps = FrameSecondMeter()
     pool = ThreadPoolExecutor(max_workers=2)
     rest = img_list[1:]
     futures = {i: pool.submit(decode, p) for i, p in enumerate(rest[:3])}
-    prev = [0.0] * prof.tracker_num
     for idx, path in enumerate(rest):
         frame = futures.pop(idx).result()
         if idx + 3 < len(rest):
@@ -165,16 +180,24 @@ def run_streaming_waterlevel(test_path: str, test_name: str,
                 ok, box = tr.update(bgr)
                 if ok:
                     stream.ref_bboxes[t] = tuple(int(v) for v in box)
-        state, lv, _ = stream.step(state, frame, idx + 1)
-        lv = [p if np.isnan(v) else v for v, p in zip(lv, prev)]
-        prev = lv
-        levels.append(lv)
+        # async: the tiny [T] hits vector fetches in the background while
+        # the next frames propagate (levels are only consumed by the CSV
+        # written at the end, so nothing needs them per-frame)
+        state, pending, _ = stream.step_async(state, frame, idx + 1)
+        pendings.append(pending)
         fps.add_frame_n(1)
         name = os.path.splitext(os.path.basename(path))[0]
         try:
             timestamps.append(datetime.strptime(name, prof.time_fmt))
         except ValueError:
             timestamps.append(datetime.fromtimestamp(idx))
+    levels: List[List[float]] = []
+    prev = [0.0] * prof.tracker_num
+    for pending in pendings:
+        lv = stream.resolve(pending)
+        lv = [p if np.isnan(v) else v for v, p in zip(lv, prev)]
+        prev = lv
+        levels.append(lv)
     pool.shutdown()
     fps.end()
 
