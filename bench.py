@@ -15,12 +15,25 @@ full-res upsample + argmax + largest-CC cleanup.
 envelope (AFB-URR-class space-time-memory models report mid-single-digit
 fps at 480p), so vs_baseline = fps / 8.0. The BASELINE.json target is
 vs_baseline >= 5.
+
+Failure resilience (round-4 postmortem): the shared TPU relay produces
+transient ``FAILED_PRECONDITION``/backend faults (CLAUDE.md), and round 4's
+official bench crashed at the first post-warmup sync before printing ANY
+JSON. This bench therefore (a) retries every stage with backoff, (b) prints
+a provisional headline after the FIRST successful measurement repeat and
+upgrades it as later stages land (the driver reads the stdout tail, so the
+last parsed line wins), (c) treats every post-headline stage as optional,
+and (d) re-execs itself fresh — finally with a forced-CPU fallback — if the
+backend object is poisoned before a headline exists. Fault injection for
+tests: ``VFLOOD_BENCH_INJECT_FAULTS=N`` makes the first N device syncs
+raise.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -35,13 +48,29 @@ MEASURE_FRAMES = 40
 # nearly free noise control.
 REPEATS = max(1, int(os.environ.get("VFLOOD_BENCH_REPEATS", "4")))
 
+# Transient-fault policy: per-stage retry with linear backoff. The relay's
+# observed failure mode is a FAILED_PRECONDITION burst that clears within a
+# couple of minutes; 3 attempts x (75 s, 150 s) spans that window.
+RETRY_ATTEMPTS = max(1, int(os.environ.get("VFLOOD_BENCH_RETRIES", "3")))
+RETRY_SLEEP_S = float(os.environ.get("VFLOOD_BENCH_RETRY_SLEEP", "75"))
+
+# Fault injection (tests): first N calls to _sync raise a backend-shaped
+# error, proving a JSON line still reaches stdout through the retry path.
+_FAULTS_LEFT = int(os.environ.get("VFLOOD_BENCH_INJECT_FAULTS", "0"))
+
+# Once a headline JSON is on stdout, an escaping exception must NOT trigger
+# the CPU-fallback re-exec: its much-lower CPU line would become the tail
+# line the driver parses, overriding a good TPU capture.
+_HEADLINE_EMITTED = False
+
 
 # Per-stage wall-clock guards (minutes since process start). The driver
 # kills the bench at its own budget and reads the TAIL of stdout — so the
-# headline JSON is printed the moment the single-stream stage finishes, and
-# each optional stage first checks there is budget left and re-prints an
-# updated line when it completes. A partial-but-parsed line always beats
-# rc=124 (round 2 scored null exactly that way).
+# headline JSON is printed the moment the first measurement repeat
+# finishes, and each optional stage first checks there is budget left and
+# re-prints an updated line when it completes. A partial-but-parsed line
+# always beats rc=124 (round 2 scored null exactly that way) or rc=1
+# (round 4).
 BUDGET_AFTER_HEADLINE_MIN = float(
     os.environ.get("VFLOOD_BENCH_BUDGET_HEADLINE", "30"))
 BUDGET_AFTER_FULLBANK_MIN = float(
@@ -51,6 +80,38 @@ BUDGET_AFTER_BATCHED_MIN = float(
 
 _DEMO_FRAMES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "records", "demo_eval", "lake", "frames")
+
+
+def _sync(x):
+    """Honest device sync (``force``), with optional injected faults."""
+    global _FAULTS_LEFT
+    if _FAULTS_LEFT > 0:
+        _FAULTS_LEFT -= 1
+        raise RuntimeError(
+            "INJECTED: FAILED_PRECONDITION: bench fault injection "
+            f"({_FAULTS_LEFT} left)")
+    from vfloodnet_tpu.utils import force
+    return force(x)
+
+
+def _retry(stage, fn, attempts=None, fatal=True):
+    """Run ``fn()`` with retry+backoff on any exception. Non-fatal stages
+    return None after exhausting attempts instead of raising."""
+    attempts = attempts or RETRY_ATTEMPTS
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — backend faults surface as
+            # RuntimeError/JaxRuntimeError/XlaRuntimeError variants
+            print(f"# stage '{stage}' attempt {k + 1}/{attempts} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+            if k + 1 == attempts:
+                if fatal:
+                    raise
+                print(f"# stage '{stage}' skipped after {attempts} attempts",
+                      file=sys.stderr, flush=True)
+                return None
+            time.sleep(RETRY_SLEEP_S * (k + 1))
 
 
 def _bench_frames(res_hw, rng, n=4):
@@ -91,7 +152,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from vfloodnet_tpu.memory import FeatureBank
-    from vfloodnet_tpu.models import AFBURR
+    from vfloodnet_tpu.models import AFBURR  # noqa: F401 (import check)
     from vfloodnet_tpu.pipelines.video_seg import VideoSegEngine
 
     platform = jax.devices()[0].platform
@@ -130,18 +191,9 @@ def main():
     mask0 = np.zeros(res_hw, np.uint8)
     mask0[res_hw[0] // 2:, :] = 1
 
-    state = engine.bootstrap(frame0, mask0)
     # pre-uploaded frames emulate the pipeline's prefetch threads (H2D is
     # overlapped with compute in the streaming CLI loop)
     frames = [engine.upload(f) for f in frames_np]
-
-    # Warmup (compiles + real execution: block_until_ready is only a
-    # dispatch fence on the axon relay — force() is the honest sync, see
-    # vfloodnet_tpu/utils/profiling.py)
-    from vfloodnet_tpu.utils import force
-    for i in range(n_warm):
-        state, label = engine.step(state, frames[i % len(frames)], i + 1)
-    force(label)
 
     tmpdir = tempfile.mkdtemp(prefix="bench_masks_")
 
@@ -150,6 +202,16 @@ def main():
         if engine.postprocess == "host":
             pred = host_largest_cc(pred)
         save_seg_mask(pred, f"{tmpdir}/{i:05d}.png")
+
+    def _fresh_state():
+        """Bootstrap + warmup + honest drain. Rebuilt per attempt/repeat:
+        engine.step donates state, so a failed attempt's state is dead."""
+        st = engine.bootstrap(frame0, mask0)
+        label = None
+        for i in range(n_warm):
+            st, label = engine.step(st, frames[i % len(frames)], i + 1)
+        _sync(label)   # warmup (compiles + REAL execution; relay-lazy)
+        return st, label
 
     def measure_stream(state):
         """One streaming-CLI-shaped pass: the device runs frame t while frame
@@ -175,56 +237,78 @@ def main():
         writer.shutdown()
         return n_measure / total, state
 
-    # Relay-health marker: the fixed D2H round-trip floor (~30-45 ms on a
-    # healthy relay, hundreds of ms when degraded) makes each capture
-    # self-identifying — a 39 vs 68 fps headline can be attributed without
-    # re-running (VERDICT r3 weak #7).
-    from vfloodnet_tpu.utils import fetch_floor as _fetch_floor
-    relay_floor_ms = float(_fetch_floor(label)) * 1000.0
+    def first_repeat():
+        st, label = _fresh_state()
+        # Relay-health marker: the fixed D2H round-trip floor (~30-45 ms on
+        # a healthy relay, hundreds of ms when degraded) makes each capture
+        # self-identifying (VERDICT r3 weak #7).
+        from vfloodnet_tpu.utils import fetch_floor
+        floor_ms = float(fetch_floor(label)) * 1000.0
+        f, st = measure_stream(st)
+        return f, st, floor_ms
 
-    # Early-video regime: each repeat starts from a fresh bank (fps over the
-    # first n_measure frames of a video); best-of-REPEATS filters relay noise.
-    fps, state = measure_stream(state)
+    # ---- Stage 1: first measurement repeat (fatal — but retried, and the
+    # __main__ wrapper re-execs the process if it still fails) ------------
+    fps, state, relay_floor_ms = _retry("headline", first_repeat)
     fps_all = [fps]
-    for _ in range(REPEATS - 1):
-        st = engine.bootstrap(frame0, mask0)
-        for i in range(n_warm):
-            st, label = engine.step(st, frames[i % len(frames)], i + 1)
-        force(label)   # drain warmup work before the timed stream
-        f2, st = measure_stream(st)
-        fps_all.append(f2)
-        if f2 > fps:
-            fps, state = f2, st
 
-    # Latency: per-frame hard sync over a short tail — dispatch to
-    # label-on-host (fetch_label is the production readback: the packed
-    # mask D2H is part of what a caller waits for).
-    lat = []
-    for i in range(n_lat):
-        t1 = time.time()
-        state, label = engine.step(state, frames[i % len(frames)],
-                                   n_warm + n_measure + i + 1)
-        engine.fetch_label(label)
-        lat.append(time.time() - t1)
-    p50_ms = float(np.percentile(np.array(lat) * 1000.0, 50))
-
-    # ---- HEADLINE EMITTED NOW -------------------------------------------
+    # ---- PROVISIONAL HEADLINE EMITTED NOW -------------------------------
     result = {
         "metric": "1080p_video_seg_fps_per_chip",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ASSUMED_PYTORCH_GPU_FPS, 3),
-        "p50_latency_ms": round(p50_ms, 1),
         "bank_budget": budget,
         "operating_short_side": operating,
         "platform": platform,
         "weights": weights,
-        # relay-health markers: fixed D2H floor + best-to-worst repeat
-        # spread; a healthy relay shows floor ~30-45 ms and spread < 0.1
         "fetch_floor_ms": round(relay_floor_ms, 1),
-        "fps_spread": round((max(fps_all) - min(fps_all)) / max(fps_all), 3),
-        "fps_repeats": [round(f, 2) for f in fps_all],
+        "provisional": True,
     }
+    print(json.dumps(result), flush=True)
+    global _HEADLINE_EMITTED
+    _HEADLINE_EMITTED = True
+
+    # ---- remaining best-of repeats (non-fatal) --------------------------
+    def one_repeat():
+        st, _ = _fresh_state()
+        return measure_stream(st)
+
+    for _ in range(REPEATS - 1):
+        out = _retry("repeat", one_repeat, attempts=2, fatal=False)
+        if out is None:
+            break
+        f2, st = out
+        fps_all.append(f2)
+        if f2 > fps:
+            fps, state = f2, st
+
+    # relay-health markers: best-to-worst repeat spread; a healthy relay
+    # shows floor ~30-45 ms and spread < 0.1
+    result["value"] = round(fps, 3)
+    result["vs_baseline"] = round(fps / ASSUMED_PYTORCH_GPU_FPS, 3)
+    result["fps_spread"] = round((max(fps_all) - min(fps_all))
+                                 / max(fps_all), 3)
+    result["fps_repeats"] = [round(f, 2) for f in fps_all]
+
+    # ---- latency (non-fatal): per-frame hard sync over a short tail —
+    # dispatch to label-on-host (fetch_label is the production readback:
+    # the packed mask D2H is part of what a caller waits for) -------------
+    def latency_stage():
+        nonlocal state
+        lat = []
+        for i in range(n_lat):
+            t1 = time.time()
+            state, label = engine.step(state, frames[i % len(frames)],
+                                       n_warm + n_measure + i + 1)
+            engine.fetch_label(label)
+            lat.append(time.time() - t1)
+        return float(np.percentile(np.array(lat) * 1000.0, 50))
+
+    p50_ms = _retry("latency", latency_stage, attempts=2, fatal=False)
+    if p50_ms is not None:
+        result["p50_latency_ms"] = round(p50_ms, 1)
+    del result["provisional"]
     print(json.dumps(result), flush=True)
 
     # FLOPs per frame (XLA cost analysis of the fused step) -> MFU at the
@@ -275,22 +359,29 @@ def main():
                 occ=_jnp.full_like(state.occ, cap))
 
         from vfloodnet_tpu.utils import fetch_floor
-        fps_full = 0.0
-        floor = None
-        for _ in range(REPEATS):
-            fs, flabel = engine.step(make_full_state(), frames[0],
-                                     10_000)  # warm + drain (force)
-            force(flabel)
-            if floor is None:
-                floor = fetch_floor(flabel)
-            t0 = time.time()
-            for i in range(n_full):
-                fs, flabel = engine.step(fs, frames[i % len(frames)],
-                                         10_001 + i)
-            force(flabel)   # executes the whole chained run
-            fps_full = max(fps_full, n_full / (time.time() - t0 - floor))
-        result["fps_full_bank"] = round(fps_full, 3)
-        print(json.dumps(result), flush=True)
+
+        def fullbank_stage():
+            fps_full = 0.0
+            floor = None
+            for _ in range(REPEATS):
+                fs, flabel = engine.step(make_full_state(), frames[0],
+                                         10_000)  # warm + drain (force)
+                _sync(flabel)
+                if floor is None:
+                    floor = fetch_floor(flabel)
+                t0 = time.time()
+                for i in range(n_full):
+                    fs, flabel = engine.step(fs, frames[i % len(frames)],
+                                             10_001 + i)
+                _sync(flabel)   # executes the whole chained run
+                fps_full = max(fps_full, n_full / (time.time() - t0 - floor))
+            return fps_full
+
+        fps_full = _retry("full_bank", fullbank_stage, attempts=2,
+                          fatal=False)
+        if fps_full is not None:
+            result["fps_full_bank"] = round(fps_full, 3)
+            print(json.dumps(result), flush=True)
     else:
         print(f"# full-bank stage skipped: {elapsed_min():.1f} min elapsed",
               file=sys.stderr)
@@ -302,9 +393,12 @@ def main():
     streams = int(os.environ.get("VFLOOD_BENCH_STREAMS", "4"))
     if streams > 1 and not cpu_mode and \
             elapsed_min() < BUDGET_AFTER_BATCHED_MIN:
-        try:
-            batched_fps = measure_batched(model, variables, budget, res_hw,
-                                          operating, streams, n_measure)
+        batched_fps = _retry(
+            "batched",
+            lambda: measure_batched(model, variables, budget, res_hw,
+                                    operating, streams, n_measure),
+            attempts=2, fatal=False)
+        if batched_fps is not None:
             result[f"batched_fps_{streams}_streams"] = round(batched_fps, 3)
             if "step_gflops" in result:
                 peak = _peak_flops(jax.devices()[0])
@@ -320,9 +414,6 @@ def main():
                     batched_fps / ASSUMED_PYTORCH_GPU_FPS, 3)
                 result["single_stream_fps"] = round(fps, 3)
             print(json.dumps(result), flush=True)
-        except Exception as e:
-            print(f"# batched stage skipped: {type(e).__name__}: {e}",
-                  file=sys.stderr)
     elif streams > 1 and not cpu_mode:
         print(f"# batched stage skipped: {elapsed_min():.1f} min elapsed",
               file=sys.stderr)
@@ -391,8 +482,7 @@ def measure_batched(model, variables, budget, res_hw, operating,
         state = engine.bootstrap(first, [mask0] * streams)
         for i in range(2):
             state, labels = engine.step(state, frames[i % len(frames)], i + 1)
-        from vfloodnet_tpu.utils import force as _force
-        _force(labels)   # drain warmup before the timed stream (relay-lazy)
+        _sync(labels)   # drain warmup before the timed stream (relay-lazy)
         writes, pending = [], None
         t0 = time.time()
         for t in range(n_steps):
@@ -410,7 +500,48 @@ def measure_batched(model, variables, budget, res_hw, operating,
     return best
 
 
+def _reexec(reason: str):
+    """Relaunch the bench in a FRESH process: a poisoned backend object
+    cannot be repaired in-process (CLAUDE.md relay gotchas). First re-exec
+    retries the accelerator after a cooldown; the second forces the CPU
+    fallback so a parsed JSON line is still emitted (platform: "cpu" marks
+    it degraded). Bounded by VFLOOD_BENCH_REEXEC to avoid loops."""
+    n = int(os.environ.get("VFLOOD_BENCH_REEXEC", "0"))
+    env = dict(os.environ)
+    # injected faults are transient by definition — do not re-arm them in
+    # the fresh process (also lets the resilience test exercise this path)
+    env.pop("VFLOOD_BENCH_INJECT_FAULTS", None)
+    if n == 0:
+        env["VFLOOD_BENCH_REEXEC"] = "1"
+        cooldown = float(env.get("VFLOOD_BENCH_REEXEC_SLEEP", "90"))
+        print(f"# re-exec (fresh backend) after {cooldown:.0f}s cooldown: "
+              f"{reason}", file=sys.stderr, flush=True)
+        time.sleep(cooldown)
+    elif n == 1 and env.get("VFLOOD_FORCE_CPU") != "1":
+        env["VFLOOD_BENCH_REEXEC"] = "2"
+        env["VFLOOD_FORCE_CPU"] = "1"   # last resort: still emit a line
+        print(f"# re-exec with forced CPU fallback: {reason}",
+              file=sys.stderr, flush=True)
+    else:
+        return False
+    sys.stderr.flush()
+    sys.stdout.flush()
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)], env)
+    return True  # unreachable
+
+
 if __name__ == "__main__":
     from vfloodnet_tpu.core.runtime import ensure_backend
     ensure_backend()
-    main()
+    try:
+        main()
+    except Exception as exc:
+        traceback.print_exc()
+        if _HEADLINE_EMITTED:
+            # The parsed line already on stdout is the deliverable; exit
+            # cleanly rather than risk a degraded re-exec overriding it.
+            print(f"# post-headline failure tolerated: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
+        elif not _reexec(f"{type(exc).__name__}: {exc}"):
+            raise
