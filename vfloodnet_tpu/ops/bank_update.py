@@ -263,10 +263,15 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
     r = update_rate
     merged_k = mag_ko * ((1.0 - r) * nk_old + r * k_mean)
     merged_v = mag_vo * ((1.0 - r) * nv_old + r * v_mean)
-    scat = jnp.where(row_ok, row_slot, n)                 # n -> dropped
+    # Dropped rows get DISTINCT out-of-bounds indices (n + i, discarded by
+    # mode="drop"): jnp docs leave scatter behavior undefined when
+    # unique_indices is passed with duplicate indices, even out-of-bounds
+    # ones, so a shared drop index n would void the hint's contract.
+    drop_ids = n + jnp.arange(m, dtype=jnp.int32)
+    scat = jnp.where(row_ok, row_slot, drop_ids)
     # unique_indices: every written slot is distinct by construction (one
-    # group per slot from _sorted_group_means; dropped rows land on the
-    # out-of-bounds index n and write nothing) — lets XLA emit a vector
+    # group per slot from _sorted_group_means; dropped rows land on their
+    # own out-of-bounds index and write nothing) — lets XLA emit a vector
     # scatter instead of the serialized duplicate-safe form (the four bank
     # scatters profiled ~1.2 ms/step of the 12 ms fused step). The append
     # dest can repeat victims only when m > capacity (rank clipping on tiny
@@ -350,7 +355,9 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
                                     valid[jnp.clip(dest, 0, n - 1)], False))
 
     # dest slots are distinct (dense-prefix ranks / distinct victims) unless
-    # m > capacity; see the unique_indices note at the merge scatter above.
+    # m > capacity; dropped rows get distinct OOB indices like the merge
+    # scatter above so the unique_indices hint holds unconditionally.
+    dest = jnp.where(dest < n, dest, drop_ids)
     keys = keys.at[dest].set(new_keys, mode="drop",
                              unique_indices=uniq_append)
     values = values.at[dest].set(new_values, mode="drop",

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 from concurrent.futures import ThreadPoolExecutor
+from functools import lru_cache, partial
 from glob import glob
 from typing import List, Optional, Tuple
 
@@ -57,6 +58,39 @@ def _build_pipeline(model, variables, postprocess: bool = True):
             label = label * keep_full
         return label
     return lambda img01: run_impl(variables, img01)
+
+
+@lru_cache(maxsize=8)
+def _jit_forward(model):
+    """Process-lifetime jitted batch forward for ``model`` (flax modules
+    hash by structure, so reloading the same architecture reuses the
+    compiled executable; weights are passed as arguments)."""
+    @jax.jit
+    def fwd(variables, batch01):                        # [B, 416, 416, 3]
+        return model.apply(variables, batch01)[..., 0]  # [B, 416, 416]
+    return fwd
+
+
+@lru_cache(maxsize=8)
+def _jit_forward_device_tail(model, postprocess: bool):
+    """Forward + full device tail: one dispatch, uint8 labels out (the
+    [B, H, W] label D2H is ~8x smaller than the f32 prob maps the host
+    tail needs). One compiled graph per output size (static out_hw), reused
+    across run_image_segmentation calls."""
+    @partial(jax.jit, static_argnums=(2,))
+    def fwd_tail(variables, batch01, out_hw):
+        probs = model.apply(variables, batch01)[..., 0]
+        label416 = (probs > 0.5).astype(jnp.uint8)
+        up = ops.resize(probs, out_hw, "bilinear", spatial_axes=(-2, -1))
+        label = (up > 0.5).astype(jnp.uint8)
+        if postprocess:
+            keep = jax.vmap(ops.largest_connected_component)(label416)
+            keep_full = ops.resize(keep, out_hw, "nearest",
+                                   spatial_axes=(-2, -1))
+            label = label * keep_full
+        from .video_seg import pack_bits
+        return jax.vmap(pack_bits)(label)    # 8x smaller D2H
+    return fwd_tail
 
 
 def _host_tail(prob416: np.ndarray, orig_hw: Tuple[int, int],
@@ -120,31 +154,15 @@ def run_image_segmentation(test_path: str, test_name: str,
     # see VideoSegEngine.__init__)
     variables = jax.device_put(variables)
 
-    @jax.jit
-    def _forward(variables, batch01):                  # [B, 416, 416, 3]
-        return model.apply(variables, batch01)[..., 0]  # [B, 416, 416]
+    # jitted executables cached at module level keyed on (model,
+    # postprocess): a fresh jax.jit per call would retrace/recompile the
+    # full forward+tail graph on every repeat invocation in one process —
+    # costly on the remote-compile relay (ADVICE r4).
+    _forward = _jit_forward(model)
+    _forward_device_tail = _jit_forward_device_tail(model, postprocess)
 
     def forward(batch01):
         return _forward(variables, batch01)
-
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=(2,))
-    def _forward_device_tail(variables, batch01, out_hw):
-        """Forward + full device tail: one dispatch, uint8 labels out (the
-        [B, H, W] label D2H is ~8x smaller than the f32 prob maps the host
-        tail needs). One compiled graph per output size."""
-        probs = model.apply(variables, batch01)[..., 0]
-        label416 = (probs > 0.5).astype(jnp.uint8)
-        up = ops.resize(probs, out_hw, "bilinear", spatial_axes=(-2, -1))
-        label = (up > 0.5).astype(jnp.uint8)
-        if postprocess:
-            keep = jax.vmap(ops.largest_connected_component)(label416)
-            keep_full = ops.resize(keep, out_hw, "nearest",
-                                   spatial_axes=(-2, -1))
-            label = label * keep_full
-        from .video_seg import pack_bits
-        return jax.vmap(pack_bits)(label)    # 8x smaller D2H
 
     writer = ThreadPoolExecutor(max_workers=2)
     results: List[Tuple[str, str]] = []

@@ -252,6 +252,12 @@ def detection_loss(model: GeneralizedRCNN, variables, cfg,
         bh = jnp.maximum(kp_rois[:, 3:4] - y1, 1e-3)
         ix = jnp.floor((kps[..., 0] - x1) / bw * side).astype(jnp.int32)
         iy = jnp.floor((kps[..., 1] - y1) / bh * side).astype(jnp.int32)
+        # Detectron2 keypoints_to_heatmap clamps keypoints lying exactly on
+        # the ROI's right/bottom edge into the last bin rather than marking
+        # them invisible (structures/keypoints.py); without this, edge
+        # keypoints silently contribute no loss.
+        ix = jnp.where(ix == side, side - 1, ix)
+        iy = jnp.where(iy == side, side - 1, iy)
         inside = (ix >= 0) & (ix < side) & (iy >= 0) & (iy < side)
         vis = (kps[..., 2] > 0) & inside & fg[sel][:, None]
         tgt = jnp.clip(iy, 0, side - 1) * side + jnp.clip(ix, 0, side - 1)
