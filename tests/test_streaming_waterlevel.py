@@ -12,7 +12,7 @@ from PIL import Image
 from vfloodnet_tpu.memory import FeatureBank
 from vfloodnet_tpu.models import AFBURR
 from vfloodnet_tpu.pipelines.streaming_waterlevel import (
-    StreamingWaterLevel, run_streaming_waterlevel)
+    BoundedResolver, StreamingWaterLevel, run_streaming_waterlevel)
 from vfloodnet_tpu.pipelines.video_seg import VideoSegEngine
 from vfloodnet_tpu.utils import save_seg_mask
 
@@ -38,6 +38,35 @@ def test_streaming_step_levels():
     # level is either NaN (no water predicted) or a positive full-res px gap
     if not np.isnan(levels[0]):
         assert levels[0] > 0
+
+
+def test_bounded_resolver_caps_live_buffers():
+    """Long-video regime (ADVICE r4): the runner must hold O(lag) pending
+    device buffers, not O(frames), and forward-fill NaN levels like the
+    reference's scan loop (reference_tracking.py:197-204)."""
+    values = {}
+
+    class FakeStream:
+        @staticmethod
+        def resolve(pending):
+            return values[pending]
+
+    n = 500
+    for i in range(n):
+        values[i] = [float(i)] if i % 3 else [float("nan")]
+    r = BoundedResolver(FakeStream(), tracker_num=1, lag=4)
+    for i in range(n):
+        r.push(i)
+        assert len(r.pending) <= 4
+    levels = r.finish()
+    assert r.max_live <= 4
+    assert len(levels) == n
+    assert levels[0] == [0.0]          # NaN at i=0 -> initial prev 0.0
+    assert levels[1] == [1.0]
+    assert levels[3] == [1.0 * 2]      # i=3 NaN -> carries i=2's level
+    assert levels[4] == [4.0]
+    # FIFO order preserved across the drain/finish boundary
+    assert levels[n - 1] == [float(n - 1) if (n - 1) % 3 else levels[n - 2][0]]
 
 
 def test_run_streaming_waterlevel(tmp_path):

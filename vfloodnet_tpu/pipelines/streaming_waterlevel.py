@@ -17,6 +17,7 @@ path, via the writer pool) so downstream tooling keeps working.
 from __future__ import annotations
 
 import os
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime
 from glob import glob
@@ -96,6 +97,52 @@ class StreamingWaterLevel:
         return state, self.resolve(pending), label_small
 
 
+# Max unresolved per-frame device buffers held live by the streaming runner.
+# Large enough that the async fetch stays off the critical path (the hits
+# buffer lands on host within a frame or two), small enough that a multi-day
+# video holds a bounded number of live relay buffer handles.
+RESOLVE_LAG = 64
+
+
+class BoundedResolver:
+    """FIFO level resolver holding at most ``lag`` pending device buffers.
+
+    The round-4 runner appended every frame's pending ``hits`` array for the
+    whole video and resolved only at the end — unbounded live-buffer growth
+    on the pipeline's actual target workload (multi-day hydrograph videos,
+    tens of thousands of frames). Draining the oldest pending once the lag
+    is exceeded keeps the async win (the drained buffer finished its D2H
+    ~lag frames ago) with O(lag) live handles. Also carries the reference's
+    forward-fill of NaN levels (reference_tracking.py:197-204 keeps the
+    previous level when no waterline is found)."""
+
+    def __init__(self, stream: "StreamingWaterLevel", tracker_num: int,
+                 lag: int = RESOLVE_LAG):
+        self.stream = stream
+        self.lag = max(1, lag)
+        self.prev = [0.0] * tracker_num
+        self.pending: deque = deque()
+        self.levels: List[List[float]] = []
+        self.max_live = 0
+
+    def push(self, pending) -> None:
+        self.pending.append(pending)
+        while len(self.pending) > self.lag:
+            self._drain_one()
+        self.max_live = max(self.max_live, len(self.pending))
+
+    def _drain_one(self) -> None:
+        lv = self.stream.resolve(self.pending.popleft())
+        lv = [p if np.isnan(v) else v for v, p in zip(lv, self.prev)]
+        self.prev = lv
+        self.levels.append(lv)
+
+    def finish(self) -> List[List[float]]:
+        while self.pending:
+            self._drain_one()
+        return self.levels
+
+
 def run_streaming_waterlevel(test_path: str, test_name: str,
                              out_dir: str, record_dir: str,
                              model, variables,
@@ -164,7 +211,7 @@ def run_streaming_waterlevel(test_path: str, test_name: str,
     stream = StreamingWaterLevel(engine, ref_bboxes)
 
     timestamps: List[datetime] = []
-    pendings: List = []
+    resolver = BoundedResolver(stream, prof.tracker_num)
     fps = FrameSecondMeter()
     pool = ThreadPoolExecutor(max_workers=2)
     rest = img_list[1:]
@@ -182,22 +229,17 @@ def run_streaming_waterlevel(test_path: str, test_name: str,
                     stream.ref_bboxes[t] = tuple(int(v) for v in box)
         # async: the tiny [T] hits vector fetches in the background while
         # the next frames propagate (levels are only consumed by the CSV
-        # written at the end, so nothing needs them per-frame)
+        # written at the end, so nothing needs them per-frame); the resolver
+        # drains buffers older than RESOLVE_LAG frames to bound live handles
         state, pending, _ = stream.step_async(state, frame, idx + 1)
-        pendings.append(pending)
+        resolver.push(pending)
         fps.add_frame_n(1)
         name = os.path.splitext(os.path.basename(path))[0]
         try:
             timestamps.append(datetime.strptime(name, prof.time_fmt))
         except ValueError:
             timestamps.append(datetime.fromtimestamp(idx))
-    levels: List[List[float]] = []
-    prev = [0.0] * prof.tracker_num
-    for pending in pendings:
-        lv = stream.resolve(pending)
-        lv = [p if np.isnan(v) else v for v, p in zip(lv, prev)]
-        prev = lv
-        levels.append(lv)
+    levels = resolver.finish()
     pool.shutdown()
     fps.end()
 
