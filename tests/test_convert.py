@@ -5,6 +5,7 @@ flax init tree structurally and numerically."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vfloodnet_tpu.core import convert_afb_urr_state_dict
 from vfloodnet_tpu.models import AFBURR
@@ -102,3 +103,25 @@ def test_converter_round_trip():
     out = model.apply(converted, jnp.zeros((32, 32, 3)),
                       jnp.zeros((2, 32, 32)), method=model.memorize)
     assert out[0].shape == (2, 4, 128)
+
+
+def test_inverse_converter_round_trip():
+    """tests.torch_oracle.variables_to_state_dict must be an exact inverse
+    of convert_afb_urr_state_dict: torch sd -> flax variables -> recovered
+    sd equals the original bitwise (enables trained-weight oracle runs)."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_oracle import load_reference, variables_to_state_dict
+
+    afb_mod, _ = load_reference()
+    torch.manual_seed(11)
+    model = afb_mod.AFB_URR(torch.device("cpu"), update_bank=True,
+                            load_imagenet_params=False)
+    sd0 = model.state_dict()
+    variables = convert_afb_urr_state_dict(
+        {k: v.detach().numpy() for k, v in sd0.items()})
+    sd1 = variables_to_state_dict(variables, model,
+                                  convert_afb_urr_state_dict)
+    assert set(sd1) == set(sd0)
+    for k in sd0:
+        np.testing.assert_array_equal(sd1[k].numpy(), sd0[k].numpy(),
+                                      err_msg=k)

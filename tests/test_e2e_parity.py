@@ -106,9 +106,12 @@ def _mask_metrics(a: np.ndarray, b: np.ndarray):
 
 # ---------------------------------------------------------------- video ---
 
-def _run_reference_video_loop(model, fb_mod, img_list, mask0, out_dir):
+def _run_reference_video_loop(model, fb_mod, img_list, mask0, out_dir,
+                              budget=BUDGET, thres_close=0.95):
     """The reference test_video_seg.py:82-121 driver, executed verbatim
-    semantics-wise on CPU (Video_DS one-hot from Water_DS.py:87-102)."""
+    semantics-wise on CPU (Video_DS one-hot from Water_DS.py:87-102).
+    Returns (out_dir, FeatureBank) so callers can inspect eviction
+    telemetry."""
     my = _ref_myutils()
     os.makedirs(out_dir, exist_ok=True)
 
@@ -124,8 +127,8 @@ def _run_reference_video_loop(model, fb_mod, img_list, mask0, out_dir):
     first_frame = _tv_resize(ori_first_frame, OPERATING, "bicubic")
     first_mask = _tv_resize(ori_first_mask, OPERATING, "nearest")
 
-    fb = fb_mod.FeatureBank(obj_n, BUDGET, torch.device("cpu"),
-                            update_rate=0.1, thres_close=0.95)
+    fb = fb_mod.FeatureBank(obj_n, budget, torch.device("cpu"),
+                            update_rate=0.1, thres_close=thres_close)
 
     first_name = os.path.splitext(os.path.basename(img_list[0]))[0]
     pred0 = torch.argmax(ori_first_mask[0], dim=0).numpy().astype(np.uint8)
@@ -149,7 +152,7 @@ def _run_reference_video_loop(model, fb_mod, img_list, mask0, out_dir):
             name = os.path.splitext(os.path.basename(path))[0]
             my.save_seg_mask(pred, os.path.join(out_dir, name + ".png"),
                              my.color_palette)
-    return out_dir
+    return out_dir, fb
 
 
 @pytest.fixture(scope="module")
@@ -200,8 +203,8 @@ def video_parity(tmp_path_factory):
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
     variables = convert_afb_urr_state_dict(sd)
 
-    ref_dir = _run_reference_video_loop(model, fb_mod, img_list, mask0,
-                                        os.path.join(root, "ref"))
+    ref_dir, _ = _run_reference_video_loop(model, fb_mod, img_list, mask0,
+                                           os.path.join(root, "ref"))
 
     mask0_path = os.path.join(root, "first_mask.png")
     save_seg_mask(mask0, mask0_path)
@@ -235,6 +238,136 @@ def test_video_e2e_mask_parity(video_parity):
     for name, iou, disagree in report:
         assert iou >= 0.998, f"frame {name}: IoU {iou} (report: {report})"
         assert disagree < 0.002, f"frame {name}: disagree {disagree}"
+
+
+@pytest.fixture(scope="module")
+def video_parity_evict(tmp_path_factory):
+    """Eviction-ACTIVE regime (VERDICT r4 #5), with TRAINED weights on both
+    sides: the bundled demo checkpoint runs in the torch oracle through the
+    generic tag-recovered inverse converter
+    (tests.torch_oracle.variables_to_state_dict). Budget 1280 -> per-class
+    capacity 512 on BOTH sides (0.8 * 1280//2 = 512, a multiple of 128 so
+    the TPU bank's lane-alignment round-up is a no-op); merge threshold
+    0.99 (a reference CLI knob, test_video_seg.py:32-33 — at the 0.95
+    default this trained model merges ~98% of features and a ping-pong
+    loop of the same 8 frames never overflows 512); 30 looped frames of
+    ~405 features/object/frame give sustained merge-saturation + eviction
+    churn (measured: reference replace_n ~480/class).
+
+    Two measured facts shape this harness:
+    1. The trained-with-clip-free-log-odds checkpoint has decoder logit
+       scales in the thousands; the reference's clamp(1e-7) log-odds
+       (AFB_URR.py:311-312) collapses those to +/-16.1 and cross-OBJECT
+       argmax ties resolve to background — the same undefined-parity
+       regime the random-init fixture tempers away. Both pred convs are
+       tempered x0.002 BEFORE export, so both sides run the same weights
+       with the clamp unclamped (verified: torch/flax water fractions
+       0.631/0.633 after tempering vs 0.015/0.633 before).
+    2. Post-eviction divergence is structural, not a bug: the reference's
+       remove() (FeatureBank.py:117-143) deletes EVERY slot whose LFU
+       score falls at or below an integer threshold (int(LFU.min())+1,
+       re-raised until enough space) — often most of the bank — while
+       this framework evicts exactly the lowest-LFU slots needed. After
+       the first eviction the banks hold different feature sets and masks
+       drift; this fixture measures that drift so the tolerance is an
+       informed bound, not a guess."""
+    ckpt = os.path.join(REPO, "records", "checkpoints", "video", "best.npz")
+    if not os.path.exists(ckpt):
+        pytest.skip("bundled trained demo checkpoint missing")
+
+    root = tmp_path_factory.mktemp("e2e_evict")
+    frames_dir = os.path.join(root, "frames")
+    os.makedirs(frames_dir)
+
+    src = sorted(glob(os.path.join(FRAMES_DIR, "*.jpg"))
+                 + glob(os.path.join(FRAMES_DIR, "*.png")))
+    assert len(src) >= 4, "bundled lake clip missing"
+    first = Image.open(src[0]).convert("RGB")
+    w, h = first.size
+    scale = SHORT_SIDE / min(w, h)
+    hw = (int(round(w * scale)), int(round(h * scale)))
+
+    # ping-pong loop: 0..7, 6..0, 1..7, 6..0 -> 30 frames of smooth motion
+    order = list(range(len(src)))
+    seq = (order + order[-2::-1] + order[1:] + order[-2::-1])[:30]
+    img_list = []
+    for i, si in enumerate(seq):
+        im = Image.open(src[si]).convert("RGB").resize(hw, Image.BILINEAR)
+        out = os.path.join(frames_dir, f"f{i:02d}.png")
+        im.save(out)
+        img_list.append(out)
+
+    mask0 = np.asarray(Image.open(MASK0_PATH).resize(hw, Image.NEAREST),
+                       np.uint8)
+    mask0 = (mask0 > 0).astype(np.uint8)
+
+    import jax as _jax
+
+    from tests.torch_oracle import variables_to_state_dict
+    from vfloodnet_tpu.pipelines.loaders import load_afb_urr
+    _, variables = load_afb_urr(None)
+    variables = dict(variables)
+    dec = variables["params"]["decoder"]
+    for name in ("pred2", "local_pred2"):
+        dec[name] = {k: _jax.tree.map(lambda a: a * 0.002, v)
+                     for k, v in dec[name].items()}
+
+    afb_mod, fb_mod = load_reference()
+    model = afb_mod.AFB_URR(torch.device("cpu"), update_bank=True,
+                            load_imagenet_params=False)
+    model.load_state_dict(variables_to_state_dict(
+        variables, model, convert_afb_urr_state_dict))
+    model.eval()
+
+    budget, thres = 1280, 0.99
+    ref_dir, ref_fb = _run_reference_video_loop(
+        model, fb_mod, img_list, mask0, os.path.join(root, "ref"),
+        budget=budget, thres_close=thres)
+
+    mask0_path = os.path.join(root, "first_mask.png")
+    save_seg_mask(mask0, mask0_path)
+    from vfloodnet_tpu.models import AFBURR
+    from vfloodnet_tpu.pipelines.video_seg import run_video_segmentation
+    res = run_video_segmentation(
+        frames_dir, "e2e_evict", out_dir=os.path.join(root, "mine"),
+        model=AFBURR(), variables=variables, budget=budget,
+        merge_thres=thres, downsample=OPERATING, viz=False,
+        postprocess="host", first_mask_path=mask0_path)  # same tempered vars
+    names = [os.path.splitext(os.path.basename(p))[0] for p in img_list]
+    return ref_dir, res, names, ref_fb
+
+
+@pytest.mark.slow
+def test_video_e2e_parity_eviction_active(video_parity_evict):
+    """Merge-saturation + LFU eviction exercised on BOTH sides; drift
+    bounded (and characterized in the printed report)."""
+    ref_dir, res, names, ref_fb = video_parity_evict
+    # eviction really happened on both sides
+    assert ref_fb.replace_n.sum() > 0, "reference bank never evicted"
+    import re
+    m = re.search(r"Replace: \[([^\]]+)\]", res["bank_report"])
+    assert m and any(float(v) > 0 for v in m.group(1).split()), \
+        res["bank_report"]
+
+    report = []
+    for name in names[1:]:
+        ref = load_mask(os.path.join(ref_dir, name + ".png"))
+        mine = load_mask(os.path.join(res["mask_dir"], name + ".png"))
+        iou, disagree = _mask_metrics(ref, mine)
+        report.append((name, round(iou, 4), round(disagree, 4)))
+    print("evict e2e per-frame (name, IoU, disagree):", report)
+    ious = [r[1] for r in report]
+    # Measured on this harness (2026-08-21, trained demo weights): the
+    # reference evicts from frame 1 (its coarse remove() drops ~400 slots
+    # at the first squeeze; ours drops only the needed ~100), yet the
+    # mask drift stays gradual — per-frame IoU 0.998 at f01 decaying
+    # near-monotonically to 0.964 at f28 (disagreement 0.1% -> 2.2%).
+    # Exact parity is impossible once the banks hold different feature
+    # sets (fixture docstring); bounds below are the measured floor with
+    # ~2 points of margin.
+    assert ious[0] >= 0.99, f"first-frame drift: {report}"
+    assert min(ious) >= 0.94, f"eviction drift exceeded bound: {report}"
+    assert float(np.mean(ious)) >= 0.96, f"mean drift: {report}"
 
 
 def test_video_e2e_palette(video_parity):

@@ -128,6 +128,67 @@ def _install_stubs():
         sys.modules["torch_scatter"] = ts
 
 
+def variables_to_state_dict(variables, model: nn.Module, convert_fn):
+    """INVERSE of a torch->flax converter, recovered generically by tagging:
+    lets a checkpoint trained in this framework run in the reference oracle
+    (trained-weight e2e parity without released weights).
+
+    Two tagged conversions discover the mapping without knowing the
+    converter's internals: (1) per-tensor constant tags locate each torch
+    tensor's block inside the converted tree; (2) per-tensor arange tags
+    (exact in f32 — the largest AFB-URR tensor is ~2.4M < 2^24 elements)
+    recover the within-block element permutation. Works for any converter
+    that moves/transposes/concatenates whole tensors without mixing values.
+    """
+    import numpy as np
+
+    sd = model.state_dict()
+    keys = list(sd.keys())
+
+    def flatten(node, path, out):
+        if isinstance(node, dict):
+            for kk, vv in node.items():
+                flatten(vv, path + (kk,), out)
+        else:
+            out[path] = np.asarray(node)
+
+    tag_const = {k: np.full(tuple(v.shape), float(i + 1), np.float32)
+                 for i, (k, v) in enumerate(sd.items())}
+    tag_order = {k: (np.arange(v.numel(), dtype=np.float32) + 1.0)
+                 .reshape(tuple(v.shape)) for k, v in sd.items()}
+    const_tree, order_tree, val_tree = {}, {}, {}
+    flatten(convert_fn(tag_const), (), const_tree)
+    flatten(convert_fn(tag_order), (), order_tree)
+    flatten(variables, (), val_tree)
+
+    new_sd = {}
+    for i, k in enumerate(keys):
+        t = float(i + 1)
+        found = False
+        for path, cleaf in const_tree.items():
+            hit = cleaf == t
+            if not hit.any():
+                continue
+            idx = np.nonzero(hit)
+            sl = tuple(slice(int(a.min()), int(a.max()) + 1) for a in idx)
+            assert bool(hit[sl].all()), f"{k}: non-contiguous block"
+            order = order_tree[path][sl].ravel()
+            n = sd[k].numel()
+            assert order.shape[0] == n and \
+                np.array_equal(np.sort(order), np.arange(1, n + 1)), \
+                f"{k}: converter mixed values, tag inverse invalid"
+            vals = np.asarray(val_tree[path][sl], np.float32).ravel()
+            new_flat = np.empty(n, np.float32)
+            new_flat[(order - 1.0).astype(np.int64)] = vals
+            new_sd[k] = torch.from_numpy(
+                new_flat.reshape(tuple(sd[k].shape))).to(sd[k].dtype)
+            found = True
+            break
+        if not found:                    # untouched by the converter
+            new_sd[k] = sd[k]            # (e.g. num_batches_tracked)
+    return new_sd
+
+
 def load_reference():
     """Import and return (AFB_URR module, FeatureBank module) from the
     reference tree, with dependency stubs installed."""
