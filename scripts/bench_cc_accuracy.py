@@ -62,7 +62,7 @@ def main():
         salt[idx] = 1
         cases.append((f"{nm}+salt", salt))
 
-    configs = [(4, 1), (8, 1), (8, 2), (16, 2)]
+    configs = [(4, 1), (8, 1), (8, 2), (16, 1), (16, 2)]
     stats = {c: [] for c in configs}
     for name, small in cases:
         ref = host_largest_cc(small)

@@ -49,7 +49,7 @@ def get_args():
                         help="Memorize/update the bank only every K-th "
                              "frame (1 = reference behaviour; >1 trades "
                              "some accuracy for throughput)")
-    parser.add_argument("--cc-scale", type=int, default=8,
+    parser.add_argument("--cc-scale", type=int, default=16,
                         help="Device largest-CC runs at 1/K of the "
                              "operating resolution (8 = default: IoU >= "
                              "0.9999 vs full-res CC with dilated keep-mask)")

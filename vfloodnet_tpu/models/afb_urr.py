@@ -18,6 +18,7 @@ uncertainty-gated local refinement — but re-designed for XLA:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -119,20 +120,54 @@ class EncoderQ(nn.Module):
             f.astype(self.dtype))
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only holder matching ``nn.Conv``'s tree (``<name>/kernel``
+    [kh,kw,I,O] + ``<name>/bias`` [O]) so a fused caller can concatenate
+    sibling convs over the same input into one wider MXU contraction with
+    the checkpoint layout unchanged (same idiom as resnet.StemKernel)."""
+    features: int
+    in_features: int
+    ksize: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       self.ksize + (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class KeyValue(nn.Module):
     """3x3-conv key/value heads (AFB_URR.py:96-111). Returns flattened
-    [N, P, d] with P = h*w."""
+    [N, P, d] with P = h*w.
+
+    The key (1024->128) and value (1024->512) convs share their input; the
+    default path folds them into ONE 1024->640 conv (kernels concatenated
+    along the output axis — bitwise-identical math, wider MXU tiles for the
+    128-channel head). ``VFLOOD_KV_FUSED=0`` restores the two-conv lowering
+    for within-session A/B (round-4 doctrine: cross-session relay swings
+    make any other comparison untrustworthy)."""
     keydim: int = 128
     valdim: int = 512
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        n, h, w, _ = x.shape
-        key = nn.Conv(self.keydim, (3, 3), padding=1, dtype=self.dtype,
-                      name="key")(x)
-        val = nn.Conv(self.valdim, (3, 3), padding=1, dtype=self.dtype,
-                      name="value")(x)
+        n, h, w, c = x.shape
+        if os.environ.get("VFLOOD_KV_FUSED", "1") == "1":
+            kk, kb = _ConvParams(self.keydim, c, name="key")()
+            vk, vb = _ConvParams(self.valdim, c, name="value")()
+            w_ = jnp.concatenate([kk, vk], axis=-1).astype(self.dtype)
+            b_ = jnp.concatenate([kb, vb]).astype(self.dtype)
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w_, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
+            key, val = out[..., :self.keydim], out[..., self.keydim:]
+        else:
+            key = nn.Conv(self.keydim, (3, 3), padding=1, dtype=self.dtype,
+                          name="key")(x)
+            val = nn.Conv(self.valdim, (3, 3), padding=1, dtype=self.dtype,
+                          name="value")(x)
         return key.reshape(n, h * w, self.keydim), val.reshape(n, h * w, self.valdim)
 
 

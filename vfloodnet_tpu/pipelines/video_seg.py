@@ -67,7 +67,7 @@ def unpack_bits(arr: np.ndarray, w: int) -> np.ndarray:
 
 def device_largest_cc(label_full: jnp.ndarray,
                       label_small: jnp.ndarray,
-                      scale: int = 8,
+                      scale: int = 16,
                       dilate: int = 1) -> jnp.ndarray:
     """Largest-CC cleanup on device. The component filter runs at 1/scale of
     the small operating resolution (CC topology is scale-invariant for the
@@ -78,10 +78,12 @@ def device_largest_cc(label_full: jnp.ndarray,
     ``postprocessing_pred`` (myutils/data.py:17-37) at a fraction of the
     cost. Measured vs the full-res host CC on the demo-clip masks (+ false
     blobs / salt-noise variants), scripts/bench_cc_accuracy.py: scale 4 +
-    dilation IoU >= 0.99992 and scale 8 + dilation >= 0.99986 on every mask
-    (undilated scale 2 was 0.9976). Default scale 8 shrinks the CC grid to
-    60x107, where the whole label-propagation fixpoint is ~4x cheaper than
-    scale 4's 120x214."""
+    dilation IoU >= 0.99992, scale 8 >= 0.99986, scale 16 >= 0.99978 on
+    every mask (undilated scale 2 was 0.9976). Default scale 16 shrinks the
+    CC grid to 30x53 at the 480 operating point — measured -0.15 ms/frame
+    vs scale 8 in the round-5 interleaved A/B (scripts/bench_r5_ab.py) at
+    min IoU 0.99978; falls back to the un-scaled grid when the operating
+    resolution is too small for a 16x grid."""
     h, w = label_small.shape[-2:]
     if scale > 1 and min(h, w) // scale >= 16:
         cc_in = ops.resize(label_small, (h // scale, w // scale), "nearest",
@@ -159,7 +161,7 @@ class VideoSegEngine:
 
     def __init__(self, model: AFBURR, variables, fb: FeatureBank,
                  downsample: int = 480, postprocess="auto",
-                 memorize_every: int = 1, cc_scale: int = 8):
+                 memorize_every: int = 1, cc_scale: int = 16):
         self.model = model
         if model.dtype != jnp.float32:     # see cast_floating_params
             variables = cast_floating_params(variables, model.dtype)
@@ -336,7 +338,7 @@ def run_video_segmentation(test_path: str, test_name: str,
                            first_mask_path: Optional[str] = None,
                            checkpoint_every: int = 0,
                            memorize_every: int = 1,
-                           cc_scale: int = 8) -> dict:
+                           cc_scale: int = 16) -> dict:
     """End-to-end video segmentation over a frame directory.
 
     Mirrors the reference entry point behaviour (test_video_seg.py:41-123):

@@ -40,7 +40,7 @@ class BatchVideoSegEngine:
 
     def __init__(self, model: AFBURR, variables, fb: FeatureBank,
                  batch: int, downsample: int = 480, postprocess="auto",
-                 memorize_every: int = 1, cc_scale: int = 8):
+                 memorize_every: int = 1, cc_scale: int = 16):
         self.model = model
         if model.dtype != jnp.float32:     # see cast_floating_params
             variables = cast_floating_params(variables, model.dtype)
@@ -204,7 +204,7 @@ def run_video_segmentation_batch(test_paths: Sequence[str],
                                  viz: bool = True,
                                  image_model_path: Optional[str] = None,
                                  memorize_every: int = 1,
-                                 cc_scale: int = 8
+                                 cc_scale: int = 16
                                  ) -> dict:
     """Propagate several same-resolution videos simultaneously.
 

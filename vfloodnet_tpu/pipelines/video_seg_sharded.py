@@ -58,7 +58,7 @@ class ShardedVideoSegEngine:
 
     def __init__(self, model: AFBURR, variables, fb: FeatureBank, mesh,
                  downsample: int = 480, postprocess="none",
-                 cc_scale: int = 8):
+                 cc_scale: int = 16):
         self.model = model
         if model.dtype != jnp.float32:     # see cast_floating_params
             from .loaders import cast_floating_params
