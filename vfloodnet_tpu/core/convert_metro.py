@@ -74,6 +74,83 @@ def _resnet_leaf(params, stats, flax_path, leaf, w):
         _set(stats, f"{flax_path}/var", w)
 
 
+def _map_hrnet_key(rest: str) -> Optional[str]:
+    """Map a cls_hrnet(-featmaps) module path (leaf stripped) onto the Flax
+    :class:`vfloodnet_tpu.models.hrnet.HRNet` path. Layout: the public
+    HRNet-Image-Classification ``cls_hrnet.py``, which MeshTransformer
+    vendors for METRO's HRNet-w64 backbone
+    (reference scripts/inference_bodymesh.py:228-293)."""
+    parts = rest.split(".")
+
+    def cb(idx: str) -> str:
+        return "conv" if idx == "0" else "bn"
+
+    if parts[0] in ("conv1", "bn1", "conv2", "bn2"):
+        return parts[0]
+    if parts[0] == "layer1" and len(parts) >= 3:
+        if parts[2] == "downsample":
+            return f"layer1_{parts[1]}/downsample_{cb(parts[3])}"
+        return f"layer1_{parts[1]}/{parts[2]}"
+    m = re.match(r"transition(\d)$", parts[0])
+    if m and len(parts) >= 3:
+        # existing branch: transitionX.{b}.{0|1}; new branch (one extra
+        # Sequential level): transitionX.{b}.0.{0|1}
+        idx = parts[2] if len(parts) == 3 else parts[3]
+        return f"transition{m.group(1)}_{parts[1]}_{cb(idx)}"
+    m = re.match(r"stage(\d)$", parts[0])
+    if m and len(parts) >= 3:
+        s, mod = m.group(1), parts[1]
+        if parts[2] == "branches" and len(parts) >= 6:
+            return f"stage{s}_{mod}/branch{parts[3]}_block{parts[4]}" \
+                   f"/{parts[5]}"
+        if parts[2] == "fuse_layers" and len(parts) >= 6:
+            i, j = parts[3], parts[4]
+            if int(j) > int(i):                    # 1x1 up path
+                return f"stage{s}_{mod}/fuse{i}_{j}_{cb(parts[5])}"
+            if len(parts) >= 7:                    # strided down chain
+                return (f"stage{s}_{mod}/fuse{i}_{j}_"
+                        f"{cb(parts[6])}{parts[5]}")
+    if parts[0] == "incre_modules" and len(parts) >= 4:
+        if parts[3] == "downsample":
+            return f"incre{parts[1]}/downsample_{cb(parts[4])}"
+        return f"incre{parts[1]}/{parts[3]}"
+    if parts[0] == "downsamp_modules" and len(parts) >= 3:
+        return f"downsamp{parts[1]}_{cb(parts[2])}"
+    if parts[0] == "final_layer" and len(parts) >= 2:
+        return f"final_{cb(parts[1])}"
+    return None
+
+
+def convert_hrnet_state_dict(sd: Mapping[str, np.ndarray],
+                             prefix: str = "") -> Dict[str, Any]:
+    """Convert a cls_hrnet(-featmaps) state_dict (optionally ``prefix``-ed,
+    e.g. ``backbone.``) to {'params', 'batch_stats'} for the Flax HRNet."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    unmapped = []
+    for key, value in sd.items():
+        if prefix and not key.startswith(prefix):
+            continue
+        rest = key[len(prefix):]
+        leaf = rest.split(".")[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        path = _map_hrnet_key(rest.rsplit(".", 1)[0])
+        if path is None:
+            unmapped.append(key)
+            continue
+        _resnet_leaf(params, stats, path, leaf, np.asarray(value))
+    if unmapped:
+        raise ValueError(f"unmapped HRNet keys ({len(unmapped)}): "
+                         f"{unmapped[:8]}...")
+    return {"params": params, "batch_stats": stats}
+
+
+def _is_hrnet_layout(sd: Mapping[str, np.ndarray]) -> bool:
+    return any(k.startswith("backbone.stage2.") for k in sd) and \
+        any(k.startswith("backbone.conv1.") for k in sd)
+
+
 def convert_metro_state_dict(sd: Mapping[str, np.ndarray],
                              smpl_buffers: Optional[Dict[str, np.ndarray]]
                              = None,
@@ -81,13 +158,15 @@ def convert_metro_state_dict(sd: Mapping[str, np.ndarray],
     """Convert a METRO_Network state_dict to METRONetwork variables
     {'params', 'batch_stats', 'smpl'}.
 
-    ``skip_backbone``: drop backbone.* keys (e.g. HRNet-w64 checkpoints —
-    the TPU HRNet is a re-design, not weight-compatible; the transformer
-    stages, upsampling and camera heads still convert).
+    ``skip_backbone``: drop backbone.* keys (unknown trunk layouts; the
+    transformer stages, upsampling and camera heads still convert). Both
+    the torchvision-Sequential ResNet layout and the cls_hrnet HRNet-w64
+    layout (detected automatically) convert fully.
     """
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
     unmapped = []
+    hrnet = _is_hrnet_layout(sd)
 
     for key, value in sd.items():
         w = np.asarray(value)
@@ -126,6 +205,14 @@ def convert_metro_state_dict(sd: Mapping[str, np.ndarray],
 
         if key.startswith("backbone."):
             if skip_backbone:
+                continue
+            if hrnet:
+                rest = key[len("backbone."):]
+                path = _map_hrnet_key(rest.rsplit(".", 1)[0])
+                if path is None:
+                    unmapped.append(key)
+                else:
+                    _resnet_leaf(params, stats, f"backbone/{path}", leaf, w)
                 continue
             m = re.match(r"backbone\.(\d+)\.(.*)$", key)
             if m and m.group(1) in _SEQ_TO_RESNET:

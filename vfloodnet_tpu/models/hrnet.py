@@ -1,13 +1,24 @@
-"""HRNet classification-style backbone (Flax, NHWC).
+"""HRNet classification-style backbone (Flax, NHWC), weight-mappable.
 
 The reference's METRO body-mesh model uses HRNet-w64 grid features
-(scripts/inference_bodymesh.py:228-293, MeshTransformer submodule). This is
-the TPU-native HRNet: a stride-4 stem, a bottleneck stage, then three
-multi-resolution stages whose parallel branches exchange information through
-fuse layers (strided-conv down / 1x1+upsample up), and a final head that
-aggregates all branches into a single 2048-d grid feature map.
+(scripts/inference_bodymesh.py:228-293; the MeshTransformer submodule's
+``hrnet_cls_net_featmaps`` variant of the public HRNet-Image-Classification
+network). This Flax implementation follows that module graph exactly so the
+released ``metro_3dpw_state_dict.bin`` backbone weights convert one-to-one
+(core/convert_metro.py):
 
-Configured for w64 by default; w18/w32/w48 via ``width``.
+- stride-4 stem (conv1/bn1/conv2/bn2),
+- ``layer1``: 4 Bottlenecks (64 -> 256),
+- explicit transition layers (transition1 re-convs BOTH branches; later
+  transitions only create the new downsampled branch),
+- stages of repeated HighResolutionModules — W64 runs 1/4/3 modules in
+  stages 2/3/4 — each: 4 BasicBlocks per branch + full fuse layers
+  (strided-conv down / 1x1-conv + nearest-upsample up, ReLU after the sum),
+- featmaps head: per-branch incre Bottlenecks, biased strided downsamp
+  convs, biased 1x1 final conv to the 2048-d /32 grid feature.
+
+Configured for w64 by default; w18/w32/w48 via ``width`` (module counts are
+the W64 schedule unless overridden).
 """
 
 from __future__ import annotations
@@ -28,6 +39,9 @@ def _up_to(x, target_hw):
 
 
 class BasicBlock(nn.Module):
+    """Stage BasicBlock (channels always match inside a branch, so there is
+    no downsample path — transitions handle channel changes, as in the
+    official network)."""
     features: int
     dtype: Any = jnp.float32
 
@@ -40,10 +54,6 @@ class BasicBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
         y = FrozenBN(dtype=self.dtype, name="bn2")(y)
-        if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1, 1), use_bias=False,
-                        dtype=self.dtype, name="down_conv")(x)
-            x = FrozenBN(dtype=self.dtype, name="down_bn")(x)
         return nn.relu(y + x)
 
 
@@ -67,85 +77,76 @@ class Bottleneck(nn.Module):
         y = FrozenBN(dtype=self.dtype, name="bn3")(y)
         if x.shape[-1] != out_f:
             x = nn.Conv(out_f, (1, 1), use_bias=False, dtype=self.dtype,
-                        name="down_conv")(x)
-            x = FrozenBN(dtype=self.dtype, name="down_bn")(x)
+                        name="downsample_conv")(x)
+            x = FrozenBN(dtype=self.dtype, name="downsample_bn")(x)
         return nn.relu(y + x)
 
 
-class FuseLayer(nn.Module):
-    """Exchange information between parallel branches."""
-    out_channels: Sequence[int]
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
-        outs = []
-        for i, ci in enumerate(self.out_channels):
-            acc = None
-            for j, x in enumerate(xs):
-                if j == i:
-                    y = x
-                    if x.shape[-1] != ci:
-                        y = nn.Conv(ci, (1, 1), use_bias=False,
-                                    dtype=self.dtype,
-                                    name=f"f{j}to{i}_conv")(y)
-                        y = FrozenBN(dtype=self.dtype,
-                                     name=f"f{j}to{i}_bn")(y)
-                elif j < i:
-                    # downsample j -> i with (i - j) stride-2 convs
-                    y = x
-                    for s in range(i - j):
-                        last = s == (i - j - 1)
-                        y = nn.Conv(ci if last else x.shape[-1], (3, 3),
-                                    strides=(2, 2), padding=1,
-                                    use_bias=False, dtype=self.dtype,
-                                    name=f"f{j}to{i}_conv{s}")(y)
-                        y = FrozenBN(dtype=self.dtype,
-                                     name=f"f{j}to{i}_bn{s}")(y)
-                        if not last:
-                            y = nn.relu(y)
-                else:
-                    # upsample j -> i: 1x1 conv + nearest upsample
-                    y = nn.Conv(ci, (1, 1), use_bias=False, dtype=self.dtype,
-                                name=f"f{j}to{i}_conv")(x)
-                    y = FrozenBN(dtype=self.dtype, name=f"f{j}to{i}_bn")(y)
-                    y = _up_to(y, xs[i].shape[1:3])
-                acc = y if acc is None else acc + y
-            outs.append(nn.relu(acc))
-        return outs
-
-
-class HRNetStage(nn.Module):
+class HRModule(nn.Module):
+    """One HighResolutionModule: per-branch block stacks + fuse layers
+    (official HighResolutionModule; torch keys
+    ``stage{s}.{m}.branches.{b}.{k}.*`` / ``.fuse_layers.{i}.{j}.*``)."""
     channels: Sequence[int]
     blocks: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
-        # add a new (downsampled) branch if needed
-        while len(xs) < len(self.channels):
-            j = len(xs)
-            y = nn.Conv(self.channels[j], (3, 3), strides=(2, 2), padding=1,
-                        use_bias=False, dtype=self.dtype,
-                        name=f"new_branch{j}_conv")(xs[-1])
-            y = FrozenBN(dtype=self.dtype, name=f"new_branch{j}_bn")(y)
-            xs = xs + [nn.relu(y)]
-
         ys = []
-        for bi, (x, c) in enumerate(zip(xs, self.channels)):
+        for b, (x, c) in enumerate(zip(xs, self.channels)):
             h = x
             for k in range(self.blocks):
                 h = BasicBlock(c, dtype=self.dtype,
-                               name=f"branch{bi}_block{k}")(h)
+                               name=f"branch{b}_block{k}")(h)
             ys.append(h)
-        return FuseLayer(self.channels, dtype=self.dtype, name="fuse")(ys)
+
+        n = len(self.channels)
+        outs = []
+        for i in range(n):
+            acc = ys[i]
+            for j in range(n):
+                if j == i:
+                    continue
+                if j > i:
+                    # up: 1x1 conv + BN + nearest upsample 2**(j-i)
+                    y = nn.Conv(self.channels[i], (1, 1), use_bias=False,
+                                dtype=self.dtype,
+                                name=f"fuse{i}_{j}_conv")(ys[j])
+                    y = FrozenBN(dtype=self.dtype,
+                                 name=f"fuse{i}_{j}_bn")(y)
+                    y = _up_to(y, ys[i].shape[1:3])
+                else:
+                    # down: (i-j) stride-2 3x3 convs; intermediate keep
+                    # the source width, only the last maps to channels[i]
+                    y = ys[j]
+                    for s in range(i - j):
+                        last = s == (i - j - 1)
+                        cout = self.channels[i] if last else self.channels[j]
+                        y = nn.Conv(cout, (3, 3), strides=(2, 2), padding=1,
+                                    use_bias=False, dtype=self.dtype,
+                                    name=f"fuse{i}_{j}_conv{s}")(y)
+                        y = FrozenBN(dtype=self.dtype,
+                                     name=f"fuse{i}_{j}_bn{s}")(y)
+                        if not last:
+                            y = nn.relu(y)
+                acc = acc + y
+            outs.append(nn.relu(acc))
+        return outs
 
 
 class HRNet(nn.Module):
     """HRNet backbone returning a 2048-d aggregated grid feature (/32) plus
     the highest-resolution branch (/4)."""
     width: int = 64
+    # HighResolutionModules per stage — the W64 classification schedule
+    modules: Tuple[int, int, int] = (1, 4, 3)
     dtype: Any = jnp.float32
+
+    def _trans(self, x, cout: int, name: str, stride: int):
+        y = nn.Conv(cout, (3, 3), strides=(stride, stride), padding=1,
+                    use_bias=False, dtype=self.dtype, name=f"{name}_conv")(x)
+        y = FrozenBN(dtype=self.dtype, name=f"{name}_bn")(y)
+        return nn.relu(y)
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -153,36 +154,46 @@ class HRNet(nn.Module):
         chans = (w, 2 * w, 4 * w, 8 * w)
 
         h = nn.Conv(64, (3, 3), strides=(2, 2), padding=1, use_bias=False,
-                    dtype=self.dtype, name="stem1")(x)
-        h = FrozenBN(dtype=self.dtype, name="stem1_bn")(h)
+                    dtype=self.dtype, name="conv1")(x)
+        h = FrozenBN(dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         h = nn.Conv(64, (3, 3), strides=(2, 2), padding=1, use_bias=False,
-                    dtype=self.dtype, name="stem2")(h)
-        h = FrozenBN(dtype=self.dtype, name="stem2_bn")(h)
+                    dtype=self.dtype, name="conv2")(h)
+        h = FrozenBN(dtype=self.dtype, name="bn2")(h)
         h = nn.relu(h)                                   # /4
 
         for k in range(4):
             h = Bottleneck(64, dtype=self.dtype, name=f"layer1_{k}")(h)
 
-        xs = [h]
-        xs = HRNetStage(chans[:2], dtype=self.dtype, name="stage2")(xs)
-        xs = HRNetStage(chans[:3], dtype=self.dtype, name="stage3")(xs)
-        xs = HRNetStage(chans[:4], dtype=self.dtype, name="stage4")(xs)
+        # transition1 convs BOTH branches (256 -> w, 256 -> 2w at /8)
+        xs = [self._trans(h, chans[0], "transition1_0", 1),
+              self._trans(h, chans[1], "transition1_1", 2)]
+        for m in range(self.modules[0]):
+            xs = HRModule(chans[:2], dtype=self.dtype,
+                          name=f"stage2_{m}")(xs)
 
-        # incre + downsample head (classification-style aggregation to /32)
-        head_chans = (128, 256, 512, 1024)
-        ys = []
-        for i, (x_i, c) in enumerate(zip(xs, head_chans)):
-            ys.append(Bottleneck(c // 4, dtype=self.dtype,
-                                 name=f"incre{i}")(x_i))
+        xs = xs + [self._trans(xs[-1], chans[2], "transition2_2", 2)]
+        for m in range(self.modules[1]):
+            xs = HRModule(chans[:3], dtype=self.dtype,
+                          name=f"stage3_{m}")(xs)
+
+        xs = xs + [self._trans(xs[-1], chans[3], "transition3_3", 2)]
+        for m in range(self.modules[2]):
+            xs = HRModule(chans[:4], dtype=self.dtype,
+                          name=f"stage4_{m}")(xs)
+
+        # featmaps head: incre Bottlenecks + biased strided downsamp convs
+        head_planes = (32, 64, 128, 256)
+        ys = [Bottleneck(head_planes[i], dtype=self.dtype,
+                         name=f"incre{i}")(xs[i]) for i in range(4)]
         agg = ys[0]
-        for i in range(1, 4):
-            agg = nn.Conv(head_chans[i], (3, 3), strides=(2, 2), padding=1,
-                          use_bias=False, dtype=self.dtype,
-                          name=f"down{i}")(agg)
-            agg = FrozenBN(dtype=self.dtype, name=f"down{i}_bn")(agg)
-            agg = nn.relu(agg) + ys[i]
-        out = nn.Conv(2048, (1, 1), use_bias=False, dtype=self.dtype,
-                      name="final")(agg)
+        for i in range(3):                     # torch downsamp_modules.{i}
+            y = nn.Conv(head_planes[i + 1] * 4, (3, 3), strides=(2, 2),
+                        padding=1, use_bias=True, dtype=self.dtype,
+                        name=f"downsamp{i}_conv")(agg)
+            y = FrozenBN(dtype=self.dtype, name=f"downsamp{i}_bn")(y)
+            agg = ys[i + 1] + nn.relu(y)
+        out = nn.Conv(2048, (1, 1), use_bias=True, dtype=self.dtype,
+                      name="final_conv")(agg)
         out = FrozenBN(dtype=self.dtype, name="final_bn")(out)
         return nn.relu(out), xs[0]

@@ -365,16 +365,19 @@ def load_default_mesh_regressor(model_path: Optional[str] = None):
         sd = torch.load(path, map_location="cpu", weights_only=False)
         sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
               for k, v in sd.items()}
-        skip = any(k.startswith("backbone.") and not k.split(".")[1].isdigit()
-                   for k in sd)          # HRNet layout: not weight-mappable
+        from ..core.convert_metro import _is_hrnet_layout
+        hrnet = _is_hrnet_layout(sd)      # cls_hrnet HRNet-w64: fully maps
+        digit = any(k.startswith("backbone.") and k.split(".")[1].isdigit()
+                    for k in sd)          # torchvision-Sequential ResNet
+        skip = (not hrnet and not digit
+                and any(k.startswith("backbone.") for k in sd))
         variables = jax.tree.map(
             jnp.asarray, convert_metro_state_dict(sd, skip_backbone=skip))
         cfg = _infer_metro_config(sd)
-        model = METRONetwork(backbone="hrnet64" if skip else "resnet50",
-                             **cfg)
+        model = METRONetwork(backbone="hrnet64" if hrnet or skip
+                             else "resnet50", **cfg)
         if skip:
-            warnings.warn("METRO HRNet-w64 backbone weights are not "
-                          "mappable onto the TPU HRNet re-design; backbone "
+            warnings.warn("METRO backbone layout unrecognised; backbone "
                           "runs with fresh init (transformer/heads loaded).")
             full = model.init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 224, 224, 3)))
