@@ -107,7 +107,8 @@ def _mask_metrics(a: np.ndarray, b: np.ndarray):
 # ---------------------------------------------------------------- video ---
 
 def _run_reference_video_loop(model, fb_mod, img_list, mask0, out_dir,
-                              budget=BUDGET, thres_close=0.95):
+                              budget=BUDGET, thres_close=0.95,
+                              operating=OPERATING):
     """The reference test_video_seg.py:82-121 driver, executed verbatim
     semantics-wise on CPU (Video_DS one-hot from Water_DS.py:87-102).
     Returns (out_dir, FeatureBank) so callers can inspect eviction
@@ -124,8 +125,8 @@ def _run_reference_video_loop(model, fb_mod, img_list, mask0, out_dir,
 
     ori_first_frame = _to_tensor(img_list[0])
     ori_first_mask = torch.from_numpy(onehot)[None]
-    first_frame = _tv_resize(ori_first_frame, OPERATING, "bicubic")
-    first_mask = _tv_resize(ori_first_mask, OPERATING, "nearest")
+    first_frame = _tv_resize(ori_first_frame, operating, "bicubic")
+    first_mask = _tv_resize(ori_first_mask, operating, "nearest")
 
     fb = fb_mod.FeatureBank(obj_n, budget, torch.device("cpu"),
                             update_rate=0.1, thres_close=thres_close)
@@ -141,7 +142,7 @@ def _run_reference_video_loop(model, fb_mod, img_list, mask0, out_dir,
         for idx, path in enumerate(img_list[1:]):
             ori_frame = _to_tensor(path)
             ori_size = ori_frame.shape[-2:]
-            frame = _tv_resize(ori_frame, OPERATING, "bicubic")
+            frame = _tv_resize(ori_frame, operating, "bicubic")
             score, _ = model.segment(frame, fb)
             pred_mask = NF.softmax(score, dim=1)
             k4l, v4l = model.memorize(frame, pred_mask)
@@ -153,6 +154,34 @@ def _run_reference_video_loop(model, fb_mod, img_list, mask0, out_dir,
             my.save_seg_mask(pred, os.path.join(out_dir, name + ".png"),
                              my.color_palette)
     return out_dir, fb
+
+
+def _trained_tempered_oracle():
+    """(torch model, flax variables) for the bundled TRAINED demo
+    checkpoint, pred convs tempered x0.002 on BOTH sides (this checkpoint
+    was trained with clip-free log-odds and carries decoder logit scales in
+    the thousands; untempered, the reference's clamp(1e-7) log-odds
+    collapses them to +/-16.1 and cross-object argmax ties resolve to
+    background — parity is undefined there, measured water fraction
+    0.015 vs 0.633)."""
+    import jax as _jax
+
+    from tests.torch_oracle import variables_to_state_dict
+    from vfloodnet_tpu.pipelines.loaders import load_afb_urr
+    _, variables = load_afb_urr(None)
+    variables = dict(variables)
+    dec = variables["params"]["decoder"]
+    for name in ("pred2", "local_pred2"):
+        dec[name] = {k: _jax.tree.map(lambda a: a * 0.002, v)
+                     for k, v in dec[name].items()}
+
+    afb_mod, fb_mod = load_reference()
+    model = afb_mod.AFB_URR(torch.device("cpu"), update_bank=True,
+                            load_imagenet_params=False)
+    model.load_state_dict(variables_to_state_dict(
+        variables, model, convert_afb_urr_state_dict))
+    model.eval()
+    return model, fb_mod, variables
 
 
 @pytest.fixture(scope="module")
@@ -301,23 +330,7 @@ def video_parity_evict(tmp_path_factory):
                        np.uint8)
     mask0 = (mask0 > 0).astype(np.uint8)
 
-    import jax as _jax
-
-    from tests.torch_oracle import variables_to_state_dict
-    from vfloodnet_tpu.pipelines.loaders import load_afb_urr
-    _, variables = load_afb_urr(None)
-    variables = dict(variables)
-    dec = variables["params"]["decoder"]
-    for name in ("pred2", "local_pred2"):
-        dec[name] = {k: _jax.tree.map(lambda a: a * 0.002, v)
-                     for k, v in dec[name].items()}
-
-    afb_mod, fb_mod = load_reference()
-    model = afb_mod.AFB_URR(torch.device("cpu"), update_bank=True,
-                            load_imagenet_params=False)
-    model.load_state_dict(variables_to_state_dict(
-        variables, model, convert_afb_urr_state_dict))
-    model.eval()
+    model, fb_mod, variables = _trained_tempered_oracle()
 
     budget, thres = 1280, 0.99
     ref_dir, ref_fb = _run_reference_video_loop(
@@ -376,6 +389,61 @@ def test_video_e2e_palette(video_parity):
     mine = Image.open(os.path.join(my_dir, names[1] + ".png"))
     assert ref.mode == "P" and mine.mode == "P"
     assert ref.getpalette()[:12] == mine.getpalette()[:12]
+
+
+@pytest.fixture(scope="module")
+def video_parity_fullres(tmp_path_factory):
+    """The REFERENCE'S operating point: raw bundled frames (no pre-resize),
+    downsample 480 (test_video_seg.py:46), trained demo weights both sides
+    (tempered, see _trained_tempered_oracle). Closes the round-4 'parity
+    only measured at 240px' gap at ~4x the 240 harness cost."""
+    ckpt = os.path.join(REPO, "records", "checkpoints", "video", "best.npz")
+    if not os.path.exists(ckpt):
+        pytest.skip("bundled trained demo checkpoint missing")
+    root = tmp_path_factory.mktemp("e2e_video480")
+
+    img_list = sorted(glob(os.path.join(FRAMES_DIR, "*.jpg"))
+                      + glob(os.path.join(FRAMES_DIR, "*.png")))
+    assert len(img_list) >= 4, "bundled lake clip missing"
+    first = Image.open(img_list[0])
+    mask0 = np.asarray(Image.open(MASK0_PATH).resize(first.size,
+                                                     Image.NEAREST), np.uint8)
+    mask0 = (mask0 > 0).astype(np.uint8)
+
+    model, fb_mod, variables = _trained_tempered_oracle()
+    ref_dir, _ = _run_reference_video_loop(
+        model, fb_mod, img_list, mask0, os.path.join(root, "ref"),
+        budget=BUDGET, operating=480)
+
+    mask0_path = os.path.join(root, "first_mask.png")
+    save_seg_mask(mask0, mask0_path)
+    from vfloodnet_tpu.models import AFBURR
+    from vfloodnet_tpu.pipelines.video_seg import run_video_segmentation
+    res = run_video_segmentation(
+        FRAMES_DIR, "e2e_480", out_dir=os.path.join(root, "mine"),
+        model=AFBURR(), variables=variables, budget=BUDGET,
+        downsample=480, viz=False, postprocess="host",
+        first_mask_path=mask0_path)
+    names = [os.path.splitext(os.path.basename(p))[0] for p in img_list]
+    return ref_dir, res["mask_dir"], names
+
+
+@pytest.mark.slow
+def test_video_e2e_mask_parity_operating_480(video_parity_fullres):
+    """Same bar as the 240 harness, at the reference's production
+    resolution with trained weights."""
+    ref_dir, my_dir, names = video_parity_fullres
+    report = []
+    for name in names[1:]:
+        ref = load_mask(os.path.join(ref_dir, name + ".png"))
+        mine = load_mask(os.path.join(my_dir, name + ".png"))
+        assert ref.shape == mine.shape
+        iou, disagree = _mask_metrics(ref, mine)
+        report.append((name, round(iou, 5), round(disagree, 5)))
+    print("video e2e@480 per-frame (name, IoU, disagree):", report)
+    for name, iou, disagree in report:
+        assert iou >= 0.998, f"frame {name}: IoU {iou} ({report})"
+        assert disagree < 0.002, f"frame {name}: disagree {disagree}"
 
 
 # ---------------------------------------------------------------- image ---
