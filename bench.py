@@ -274,7 +274,18 @@ def main():
         st, _ = _fresh_state()
         return measure_stream(st)
 
-    for _ in range(REPEATS - 1):
+    def spread():
+        return (max(fps_all) - min(fps_all)) / max(fps_all)
+
+    # Best-of-REPEATS filters relay noise; when the spread stays high (a
+    # degraded window, measured 4x load swings) spend up to REPEATS more
+    # warm repeats (~2-3 s each) hunting for an uncontended slot.
+    extra = REPEATS
+    while len(fps_all) < REPEATS or (spread() > 0.15 and extra > 0
+                                     and elapsed_min() <
+                                     BUDGET_AFTER_HEADLINE_MIN):
+        if len(fps_all) >= REPEATS:
+            extra -= 1
         out = _retry("repeat", one_repeat, attempts=2, fatal=False)
         if out is None:
             break
