@@ -20,6 +20,7 @@ A Pallas kernel (``impl='pallas'``) fuses both sweeps with double-buffered HBM
 from __future__ import annotations
 
 import math
+import os
 from typing import Tuple
 
 import jax
@@ -249,8 +250,12 @@ def bank_attention_read(keys: jnp.ndarray, values: jnp.ndarray,
     if impl == "pallas":
         from .attention_pallas import pallas_bank_read
         return pallas_bank_read(keys, values, valid, q, thres)
-    if occ_bound is not None and keys.shape[0] > OCC_CHUNK:
-        return _xla_read_occ(keys, values, valid, q, thres, OCC_CHUNK,
+    # Trace-time env override for within-session A/B of the occupancy-loop
+    # chunk (bigger chunks = fewer serialized iterations on a full bank,
+    # more minimum work on a near-empty one).
+    occ_chunk = int(os.environ.get("VFLOOD_OCC_CHUNK", str(OCC_CHUNK)))
+    if occ_bound is not None and keys.shape[0] > occ_chunk:
+        return _xla_read_occ(keys, values, valid, q, thres, occ_chunk,
                              occ_bound)
     if impl == "dense" or (impl == "auto" and
                            keys.shape[0] * q.shape[0] <= DENSE_SCORE_ELEMENTS):

@@ -187,8 +187,7 @@ class VideoSegEngine:
 
         pack = fb.obj_n == 2
 
-        def _make_step(update_bank: bool):
-          @partial(jax.jit, donate_argnums=0)
+        def _make_raw_step(update_bank: bool):
           def _step(state: FeatureBankState, variables, frame_u8, frame_idx):
             """One frame: normalize + downsample + segment + memorize + bank
             update + full-res upsample (+ device CC cleanup + bit-packing,
@@ -254,6 +253,35 @@ class VideoSegEngine:
             return state, label_full, label_small
           return _step
 
+        def _make_step(update_bank: bool):
+            return partial(jax.jit, donate_argnums=0)(
+                _make_raw_step(update_bank))
+
+        def _make_step_n(k: int):
+            """K frames in ONE jitted dispatch: ``lax.scan`` of the full
+            per-frame step (bank update every frame, the reference contract —
+            test_video_seg.py:111-112). The scan body is traced once, so the
+            compiled graph is the same size as the single step; what it buys
+            is K-fold amortisation of the per-dispatch RPC/dispatch overhead
+            (material on relay-attached hosts, harmless on local ones).
+            Labels for all K frames come back stacked along axis 0."""
+            raw = _make_raw_step(True)
+
+            @partial(jax.jit, donate_argnums=0)
+            def _step_n(state: FeatureBankState, variables, frames_u8, idx0):
+                offs = jnp.arange(k, dtype=jnp.float32)
+
+                def body(st, inp):
+                    frame, off = inp
+                    st, label_full, _ = raw(st, variables, frame, idx0 + off)
+                    return st, label_full
+
+                return jax.lax.scan(body, state, (frames_u8, offs))
+            return _step_n
+
+        self._make_step_n = _make_step_n
+        self._step_n_jits = {}
+
         # _jit_* take variables positionally (for .lower()/cost analysis);
         # the _step/_init_bank wrappers bind self.variables and keep the
         # historical (state, frame, idx) call signature.
@@ -312,11 +340,47 @@ class VideoSegEngine:
         state, label, _ = fn(state, frame, jnp.float32(frame_idx))
         return state, label
 
+    def step_n(self, state: FeatureBankState, frames,
+               start_idx: int) -> Tuple[FeatureBankState, jnp.ndarray]:
+        """Process K consecutive frames in ONE device dispatch.
+
+        ``frames``: a [K, H, W, 3] array (uint8 device/host) or a list of
+        frames / uploaded device arrays. Returns (state, labels) with labels
+        stacked [K, ...] (bit-packed rows for binary masks — use
+        :meth:`fetch_labels`). Frame ``i`` of the chunk gets frame index
+        ``start_idx + i``; the bank is updated on every frame, so this is
+        only available at ``memorize_every == 1`` (the reference contract).
+        """
+        if self.memorize_every != 1:
+            raise ValueError("step_n requires memorize_every == 1")
+        if isinstance(frames, (list, tuple)):
+            if isinstance(frames[0], jax.Array):
+                frames = jnp.stack(frames)
+            else:
+                frames = self.upload(np.stack(
+                    [np.asarray(f) for f in frames]))
+        elif not isinstance(frames, jax.Array):
+            frames = self.upload(frames)
+        k = int(frames.shape[0])
+        fn = self._step_n_jits.get(k)
+        if fn is None:
+            fn = self._step_n_jits[k] = self._make_step_n(k)
+        state, labels = fn(state, self.variables, frames,
+                           jnp.float32(start_idx))
+        return state, labels
+
     def fetch_label(self, label) -> np.ndarray:
         """Device label handle (possibly bit-packed) -> host uint8 [H, W]."""
         arr = np.asarray(jax.device_get(label))
         if self.fb.obj_n == 2 and self.full_hw is not None:
             arr = unpack_bits(arr, self.full_hw[1])
+        return arr
+
+    def fetch_labels(self, labels) -> np.ndarray:
+        """Stacked :meth:`step_n` labels [K, ...] -> host uint8 [K, H, W]."""
+        arr = np.asarray(jax.device_get(labels))
+        if self.fb.obj_n == 2 and self.full_hw is not None:
+            arr = np.stack([unpack_bits(a, self.full_hw[1]) for a in arr])
         return arr
 
 
