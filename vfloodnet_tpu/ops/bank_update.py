@@ -21,6 +21,7 @@ All shapes static -> zero recompiles over a whole video.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -320,7 +321,25 @@ def bank_merge_append(keys: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
             return (jnp.zeros((k,), jnp.int32),
                     jnp.full((n,), 1e30, jnp.float32))
 
-        victim_order, prio = jax.lax.cond(appended_n > free_n,
+        # CRITICAL gating detail: this function runs under jax.vmap over
+        # objects, and a vmapped lax.cond with a BATCHED predicate lowers
+        # to select — both branches execute every step (the profiler shows
+        # the approx-top-k running on a bank nowhere near capacity). The
+        # per-object predicate (appended_n > free_n) is batched; occ_bound
+        # (max occupancy over objects) is NOT, so the conservative bound
+        # "even the fullest object cannot spill: max_occ + m <= n" keeps a
+        # real branch after batching. When it does fire, under-capacity
+        # objects run _select_victims too — harmless, their dest select
+        # never consults victims while rank < free_n, so results are
+        # bitwise-identical either way. VFLOOD_EVICT_GATE=batched restores
+        # the per-object predicate for A/B.
+        if occ_bound is not None and \
+                os.environ.get("VFLOOD_EVICT_GATE", "unbatched") != "batched":
+            maybe_evict = jnp.asarray(occ_bound, jnp.int32) + \
+                jnp.int32(m) > jnp.int32(n)
+        else:
+            maybe_evict = appended_n > free_n
+        victim_order, prio = jax.lax.cond(maybe_evict,
                                           _select_victims, _no_victims,
                                           operand=None)
         evict_rank = jnp.clip(rank - free_n, 0, k - 1)
